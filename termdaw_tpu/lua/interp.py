@@ -1,0 +1,797 @@
+"""Lua tree-walking interpreter.
+
+Implements the semantics the project scripts need: lexical scoping with
+closures, Lua 5.3-style integer/float arithmetic, tables with array+hash
+parts, multiple return values, method calls, and the control-flow statements.
+Host (Python) functions are registered as globals — the project API layer
+(termdaw_tpu.engine.state) registers the ~23 DAW functions exactly like the
+reference registers scoped mlua functions (reference state.rs:83-159).
+"""
+
+from __future__ import annotations
+
+import math
+from .parser import parse
+from .lexer import LuaSyntaxError
+
+
+class LuaError(RuntimeError):
+    pass
+
+
+class LuaTable:
+    """A Lua table: contiguous 1-based array part + hash part."""
+
+    __slots__ = ("hash",)
+
+    def __init__(self):
+        self.hash: dict = {}
+
+    def get(self, key):
+        key = _normalize_key(key)
+        return self.hash.get(key)
+
+    def set(self, key, value):
+        key = _normalize_key(key)
+        if key is None:
+            raise LuaError("table index is nil")
+        if value is None:
+            self.hash.pop(key, None)
+        else:
+            self.hash[key] = value
+
+    def length(self) -> int:
+        # border semantics: count contiguous integer keys from 1
+        n = 0
+        while (n + 1) in self.hash:
+            n += 1
+        return n
+
+    def array_items(self) -> list:
+        return [self.hash[i] for i in range(1, self.length() + 1)]
+
+    def items(self):
+        return self.hash.items()
+
+    def __repr__(self):
+        return f"LuaTable({self.hash!r})"
+
+
+def _normalize_key(key):
+    # Lua: 2.0 and 2 are the same key
+    if isinstance(key, float) and key.is_integer():
+        return int(key)
+    return key
+
+
+class _Break(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, values: tuple):
+        self.values = values
+
+
+class LuaFunction:
+    __slots__ = ("params", "is_vararg", "block", "env", "rt")
+
+    def __init__(self, params, is_vararg, block, env, rt):
+        self.params = params
+        self.is_vararg = is_vararg
+        self.block = block
+        self.env = env
+        self.rt = rt
+
+    def __call__(self, *args):
+        scope = Scope(self.env)
+        for i, p in enumerate(self.params):
+            scope.declare(p, args[i] if i < len(args) else None)
+        if self.is_vararg:
+            scope.varargs = tuple(args[len(self.params):])
+        try:
+            self.rt._exec_block(self.block, scope)
+        except _Return as r:
+            return r.values
+        return ()
+
+
+class Scope:
+    __slots__ = ("vars", "parent", "varargs")
+
+    def __init__(self, parent=None):
+        self.vars: dict = {}
+        self.parent = parent
+        self.varargs: tuple | None = None
+
+    def declare(self, name, value):
+        self.vars[name] = value
+
+    def lookup(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s, s.vars[name]
+            s = s.parent
+        return None, None
+
+    def find_varargs(self):
+        s = self
+        while s is not None:
+            if s.varargs is not None:
+                return s.varargs
+            s = s.parent
+        return ()
+
+
+def lua_tostring(v) -> str:
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if v.is_integer() and abs(v) < 1e16:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, LuaTable):
+        return f"table: 0x{id(v):012x}"
+    if callable(v):
+        return f"function: 0x{id(v):012x}"
+    return str(v)
+
+
+def _tonumber(v, base=None):
+    if base is not None:
+        try:
+            return int(str(v).strip(), int(base))
+        except ValueError:
+            return None
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        s = v.strip()
+        try:
+            if s.lower().startswith("0x") or s.lower().startswith("-0x"):
+                return int(s, 16)
+            if any(c in s for c in ".eE") and not s.lower().startswith("0x"):
+                return float(s)
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return None
+    return None
+
+
+def _arith_operand(v, op):
+    n = _tonumber(v) if not isinstance(v, bool) else None
+    if n is None:
+        raise LuaError(
+            f"attempt to perform arithmetic ({op}) on a {lua_type(v)} value"
+        )
+    return n
+
+
+def lua_type(v) -> str:
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, LuaTable):
+        return "table"
+    if callable(v):
+        return "function"
+    return "userdata"
+
+
+def _build_stdlib(rt: "LuaRuntime") -> dict:
+    def _print(*args):
+        print("\t".join(lua_tostring(a) for a in args))
+        return ()
+
+    def _ipairs(t):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument to 'ipairs' (table expected)")
+
+        def it(tbl, i):
+            i = int(i) + 1
+            v = tbl.get(i)
+            if v is None:
+                return (None,)
+            return (i, v)
+
+        return (it, t, 0)
+
+    def _pairs(t):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument to 'pairs' (table expected)")
+        keys = list(t.hash.keys())
+
+        def it(tbl, key):
+            if key is None:
+                idx = 0
+            else:
+                try:
+                    idx = keys.index(_normalize_key(key)) + 1
+                except ValueError:
+                    idx = len(keys)
+            while idx < len(keys):
+                k = keys[idx]
+                if k in tbl.hash:
+                    return (k, tbl.hash[k])
+                idx += 1
+            return (None,)
+
+        return (it, t, None)
+
+    def _insert(t, *args):
+        if len(args) == 1:
+            t.set(t.length() + 1, args[0])
+        else:
+            pos, val = int(args[0]), args[1]
+            n = t.length()
+            for i in range(n, pos - 1, -1):
+                t.set(i + 1, t.get(i))
+            t.set(pos, val)
+        return ()
+
+    def _remove(t, pos=None):
+        n = t.length()
+        if n == 0:
+            return (None,)
+        pos = n if pos is None else int(pos)
+        v = t.get(pos)
+        for i in range(pos, n):
+            t.set(i, t.get(i + 1))
+        t.set(n, None)
+        return (v,)
+
+    def _concat(t, sep="", i=1, j=None):
+        j = t.length() if j is None else int(j)
+        return sep.join(lua_tostring(t.get(k)) for k in range(int(i), j + 1))
+
+    def _sfmt(fmt, *args):
+        out = []
+        ai = 0
+        i = 0
+        while i < len(fmt):
+            c = fmt[i]
+            if c != "%":
+                out.append(c)
+                i += 1
+                continue
+            j = i + 1
+            while j < len(fmt) and fmt[j] in "-+ #0123456789.":
+                j += 1
+            conv = fmt[j]
+            spec = fmt[i : j + 1]
+            if conv == "%":
+                out.append("%")
+            else:
+                a = args[ai]
+                ai += 1
+                if conv in "di":
+                    out.append(spec[:-1].replace("%", "%") % 0 if False else
+                               (spec[:-1] + "d") % int(a))
+                elif conv in "eEfgG":
+                    out.append(spec % float(a))
+                elif conv == "s":
+                    out.append(spec % lua_tostring(a))
+                elif conv == "q":
+                    out.append('"' + str(a).replace("\\", "\\\\")
+                               .replace('"', '\\"').replace("\n", "\\n") + '"')
+                elif conv in "xXo":
+                    out.append(spec % int(a))
+                elif conv == "c":
+                    out.append(chr(int(a)))
+                else:
+                    raise LuaError(f"invalid format spec {spec!r}")
+            i = j + 1
+        return "".join(out)
+
+    def _sub(s, i, j=-1):
+        n = len(s)
+        i, j = int(i), int(j)
+        if i < 0:
+            i = max(n + i + 1, 1)
+        elif i == 0:
+            i = 1
+        if j < 0:
+            j = n + j + 1
+        elif j > n:
+            j = n
+        if i > j:
+            return ""
+        return s[i - 1 : j]
+
+    mathlib = LuaTable()
+    for name, fn in {
+        "floor": lambda x: math.floor(x),
+        "ceil": lambda x: math.ceil(x),
+        "abs": lambda x: abs(x),
+        "sqrt": lambda x: math.sqrt(x),
+        "sin": lambda x: math.sin(x),
+        "cos": lambda x: math.cos(x),
+        "tan": lambda x: math.tan(x),
+        "asin": lambda x: math.asin(x),
+        "acos": lambda x: math.acos(x),
+        "atan": lambda y, x=1.0: math.atan2(y, x),
+        "exp": lambda x: math.exp(x),
+        "log": lambda x, base=math.e: math.log(x, base),
+        "pow": lambda x, y: float(x) ** float(y),
+        "fmod": lambda x, y: math.fmod(x, y),
+        "max": lambda *a: max(a),
+        "min": lambda *a: min(a),
+        "random": _lua_random,
+        "randomseed": lambda x=None: (_RNG.seed(x), ())[1],
+        "tointeger": lambda x: int(x) if _tonumber(x) is not None
+        and float(x) == int(float(x)) else None,
+    }.items():
+        mathlib.set(name, fn)
+    mathlib.set("pi", math.pi)
+    mathlib.set("huge", math.inf)
+    mathlib.set("maxinteger", 2**63 - 1)
+    mathlib.set("mininteger", -(2**63))
+
+    stringlib = LuaTable()
+    for name, fn in {
+        "format": _sfmt,
+        "len": lambda s: len(s),
+        "sub": _sub,
+        "rep": lambda s, n, sep="": (sep.join([s] * int(n)) if n > 0 else ""),
+        "upper": lambda s: s.upper(),
+        "lower": lambda s: s.lower(),
+        "byte": lambda s, i=1: ord(s[int(i) - 1]),
+        "char": lambda *a: "".join(chr(int(x)) for x in a),
+        "reverse": lambda s: s[::-1],
+        "find": lambda s, pat, init=1: _plain_find(s, pat, int(init)),
+    }.items():
+        stringlib.set(name, fn)
+
+    tablelib = LuaTable()
+    tablelib.set("insert", _insert)
+    tablelib.set("remove", _remove)
+    tablelib.set("concat", _concat)
+    tablelib.set("unpack", lambda t: tuple(t.array_items()))
+
+    def _assert(v, msg=None, *rest):
+        if v is None or v is False:
+            raise LuaError(msg if msg is not None else "assertion failed!")
+        return (v, msg, *rest)
+
+    def _error(msg, _level=1):
+        raise LuaError(lua_tostring(msg))
+
+    def _pcall(fn, *args):
+        try:
+            res = fn(*args)
+            if not isinstance(res, tuple):
+                res = (res,) if res is not None else ()
+            return (True, *res)
+        except (LuaError, ZeroDivisionError) as e:
+            return (False, str(e))
+
+    def _select(n, *args):
+        if n == "#":
+            return len(args)
+        n = int(n)
+        return args[n - 1 :]
+
+    return {
+        "print": _print,
+        "ipairs": _ipairs,
+        "pairs": _pairs,
+        "tostring": lua_tostring,
+        "tonumber": _tonumber,
+        "type": lua_type,
+        "assert": _assert,
+        "error": _error,
+        "pcall": _pcall,
+        "select": _select,
+        "unpack": lambda t: tuple(t.array_items()),
+        "math": mathlib,
+        "string": stringlib,
+        "table": tablelib,
+    }
+
+
+import random as _random_mod
+
+_RNG = _random_mod.Random(0)
+
+
+def _lua_random(m=None, n=None):
+    if m is None:
+        return _RNG.random()
+    if n is None:
+        return _RNG.randint(1, int(m))
+    return _RNG.randint(int(m), int(n))
+
+
+def _plain_find(s, pat, init=1):
+    idx = s.find(pat, init - 1)
+    if idx < 0:
+        return (None,)
+    return (idx + 1, idx + len(pat))
+
+
+class LuaRuntime:
+    """One Lua VM. Globals persist across `execute` calls, like the
+    reference's single `Lua` instance living in State (state.rs:28)."""
+
+    def __init__(self):
+        self.globals: dict = {}
+        self.globals.update(_build_stdlib(self))
+
+    # -- host API -----------------------------------------------------------
+    def set_global(self, name: str, value) -> None:
+        self.globals[name] = value
+
+    def get_global(self, name: str):
+        return self.globals.get(name)
+
+    def execute(self, source: str) -> None:
+        try:
+            block = parse(source)
+        except LuaSyntaxError as e:
+            raise LuaError(str(e)) from None
+        scope = Scope()
+        scope.varargs = ()
+        try:
+            self._exec_block(block, scope)
+        except _Return:
+            pass
+
+    # -- statement execution -------------------------------------------------
+    def _exec_block(self, block: list, scope: Scope) -> None:
+        for stat in block:
+            self._exec_stat(stat, scope)
+
+    def _exec_stat(self, stat, scope: Scope) -> None:
+        op = stat[0]
+        if op == "callstat":
+            self._eval_multi(stat[1], scope)
+        elif op == "assign":
+            targets, exprs = stat[1], stat[2]
+            values = self._eval_list(exprs, scope, len(targets))
+            for tgt, val in zip(targets, values):
+                self._assign(tgt, val, scope)
+        elif op == "local":
+            names, exprs = stat[1], stat[2]
+            values = self._eval_list(exprs, scope, len(names))
+            for name, val in zip(names, values):
+                scope.declare(name, val)
+        elif op == "localfunc":
+            name, fexpr = stat[1], stat[2]
+            scope.declare(name, None)
+            fn = self._eval(fexpr, scope)
+            scope.vars[name] = fn
+        elif op == "if":
+            for cond, blk in stat[1]:
+                if _truthy(self._eval(cond, scope)):
+                    self._exec_block(blk, Scope(scope))
+                    return
+            if stat[2] is not None:
+                self._exec_block(stat[2], Scope(scope))
+        elif op == "while":
+            cond, blk = stat[1], stat[2]
+            try:
+                while _truthy(self._eval(cond, scope)):
+                    self._exec_block(blk, Scope(scope))
+            except _Break:
+                pass
+        elif op == "repeat":
+            blk, cond = stat[1], stat[2]
+            try:
+                while True:
+                    inner = Scope(scope)
+                    self._exec_block(blk, inner)
+                    # the until condition sees the loop body's locals
+                    if _truthy(self._eval(cond, inner)):
+                        break
+            except _Break:
+                pass
+        elif op == "fornum":
+            name, e1, e2, e3, blk = stat[1], stat[2], stat[3], stat[4], stat[5]
+            start = _arith_operand(self._eval(e1, scope), "for")
+            stop = _arith_operand(self._eval(e2, scope), "for")
+            step = (
+                _arith_operand(self._eval(e3, scope), "for")
+                if e3 is not None
+                else 1
+            )
+            if step == 0:
+                raise LuaError("'for' step is zero")
+            try:
+                i = start
+                while (step > 0 and i <= stop) or (step < 0 and i >= stop):
+                    inner = Scope(scope)
+                    inner.declare(name, i)
+                    self._exec_block(blk, inner)
+                    i += step
+            except _Break:
+                pass
+        elif op == "forin":
+            names, exprs, blk = stat[1], stat[2], stat[3]
+            vals = self._eval_list(exprs, scope, 3)
+            it, st, ctrl = vals[0], vals[1], vals[2]
+            if it is None:
+                raise LuaError("attempt to iterate a nil value")
+            try:
+                while True:
+                    res = _as_tuple(_call(it, (st, ctrl)))
+                    if not res or res[0] is None:
+                        break
+                    ctrl = res[0]
+                    inner = Scope(scope)
+                    for k, nm in enumerate(names):
+                        inner.declare(nm, res[k] if k < len(res) else None)
+                    self._exec_block(blk, inner)
+            except _Break:
+                pass
+        elif op == "do":
+            self._exec_block(stat[1], Scope(scope))
+        elif op == "break":
+            raise _Break()
+        elif op == "return":
+            vals = self._eval_list_multi(stat[1], scope)
+            raise _Return(tuple(vals))
+        else:  # pragma: no cover
+            raise LuaError(f"unknown statement {op!r}")
+
+    def _assign(self, target, value, scope: Scope) -> None:
+        if target[0] == "name":
+            name = target[1]
+            s, _ = scope.lookup(name)
+            if s is not None:
+                s.vars[name] = value
+            else:
+                self.globals[name] = value
+        elif target[0] == "index":
+            obj = self._eval(target[1], scope)
+            key = self._eval(target[2], scope)
+            if not isinstance(obj, LuaTable):
+                raise LuaError(f"attempt to index a {lua_type(obj)} value")
+            obj.set(key, value)
+        else:  # pragma: no cover
+            raise LuaError("invalid assignment target")
+
+    # -- expression evaluation ------------------------------------------------
+    def _eval_list(self, exprs, scope, want: int) -> list:
+        """Evaluate an expression list, expanding the final multi-value
+        expression, padded/truncated to `want` values."""
+        vals = self._eval_list_multi(exprs, scope)
+        if len(vals) < want:
+            vals = vals + [None] * (want - len(vals))
+        return vals[:want]
+
+    def _eval_list_multi(self, exprs, scope) -> list:
+        vals: list = []
+        for i, e in enumerate(exprs):
+            if i == len(exprs) - 1:
+                vals.extend(_as_tuple(self._eval_multi(e, scope)))
+            else:
+                vals.append(self._eval(e, scope))
+        return vals
+
+    def _eval(self, expr, scope: Scope):
+        """Evaluate to exactly one value."""
+        v = self._eval_multi(expr, scope)
+        if isinstance(v, tuple):
+            return v[0] if v else None
+        return v
+
+    def _eval_multi(self, expr, scope: Scope):
+        """Evaluate; calls/varargs may produce a tuple of values."""
+        op = expr[0]
+        if op == "num" or op == "str":
+            return expr[1]
+        if op == "nil":
+            return None
+        if op == "true":
+            return True
+        if op == "false":
+            return False
+        if op == "name":
+            name = expr[1]
+            s, v = scope.lookup(name)
+            if s is not None:
+                return v
+            return self.globals.get(name)
+        if op == "paren":
+            return self._eval(expr[1], scope)
+        if op == "index":
+            obj = self._eval(expr[1], scope)
+            key = self._eval(expr[2], scope)
+            if isinstance(obj, LuaTable):
+                return obj.get(key)
+            if isinstance(obj, str):
+                # string methods via string library
+                strlib = self.globals.get("string")
+                if isinstance(strlib, LuaTable):
+                    return strlib.get(key)
+            raise LuaError(f"attempt to index a {lua_type(obj)} value")
+        if op == "call":
+            fn = self._eval(expr[1], scope)
+            args = self._eval_list_multi(expr[2], scope)
+            return _call(fn, args)
+        if op == "method":
+            obj = self._eval(expr[1], scope)
+            name = expr[2]
+            if isinstance(obj, LuaTable):
+                fn = obj.get(name)
+            elif isinstance(obj, str):
+                strlib = self.globals.get("string")
+                fn = strlib.get(name) if isinstance(strlib, LuaTable) else None
+            else:
+                raise LuaError(f"attempt to index a {lua_type(obj)} value")
+            args = self._eval_list_multi(expr[3], scope)
+            return _call(fn, [obj] + args)
+        if op == "vararg":
+            return scope.find_varargs()
+        if op == "func":
+            return LuaFunction(expr[1], expr[2], expr[3], scope, self)
+        if op == "table":
+            t = LuaTable()
+            array_exprs, hash_exprs = expr[1], expr[2]
+            idx = 1
+            for i, ae in enumerate(array_exprs):
+                if i == len(array_exprs) - 1:
+                    for v in _as_tuple(self._eval_multi(ae, scope)):
+                        t.set(idx, v)
+                        idx += 1
+                else:
+                    t.set(idx, self._eval(ae, scope))
+                    idx += 1
+            for ke, ve in hash_exprs:
+                t.set(self._eval(ke, scope), self._eval(ve, scope))
+            return t
+        if op == "binop":
+            return self._binop(expr[1], expr[2], expr[3], scope)
+        if op == "unop":
+            return self._unop(expr[1], expr[2], scope)
+        raise LuaError(f"unknown expression {op!r}")  # pragma: no cover
+
+    def _binop(self, op, le, re, scope):
+        if op == "and":
+            l = self._eval(le, scope)
+            return self._eval(re, scope) if _truthy(l) else l
+        if op == "or":
+            l = self._eval(le, scope)
+            return l if _truthy(l) else self._eval(re, scope)
+        l = self._eval(le, scope)
+        r = self._eval(re, scope)
+        if op == "..":
+            if isinstance(l, (int, float, str)) and isinstance(r, (int, float, str)) \
+                    and not isinstance(l, bool) and not isinstance(r, bool):
+                return lua_tostring(l) + lua_tostring(r)
+            raise LuaError(
+                f"attempt to concatenate a {lua_type(r if isinstance(l, (int, float, str)) else l)} value"
+            )
+        if op == "==":
+            return _lua_eq(l, r)
+        if op == "~=":
+            return not _lua_eq(l, r)
+        if op in ("<", "<=", ">", ">="):
+            if isinstance(l, str) and isinstance(r, str):
+                pass
+            elif (isinstance(l, (int, float)) and not isinstance(l, bool)
+                  and isinstance(r, (int, float)) and not isinstance(r, bool)):
+                pass
+            else:
+                raise LuaError(
+                    f"attempt to compare {lua_type(l)} with {lua_type(r)}"
+                )
+            if op == "<":
+                return l < r
+            if op == "<=":
+                return l <= r
+            if op == ">":
+                return l > r
+            return l >= r
+        ln = _arith_operand(l, op)
+        rn = _arith_operand(r, op)
+        if op == "+":
+            return ln + rn
+        if op == "-":
+            return ln - rn
+        if op == "*":
+            return ln * rn
+        if op == "/":
+            if rn == 0:
+                if isinstance(ln, int) and isinstance(rn, int):
+                    return math.inf if ln > 0 else (-math.inf if ln < 0 else math.nan)
+            return float(ln) / float(rn) if rn != 0 else (
+                math.inf if ln > 0 else (-math.inf if ln < 0 else math.nan))
+        if op == "%":
+            if rn == 0:
+                if isinstance(ln, int) and isinstance(rn, int):
+                    raise LuaError("attempt to perform 'n%%0'")
+                return math.nan
+            return ln - math.floor(ln / rn) * rn
+        if op == "^":
+            return float(ln) ** float(rn)
+        if op == "//":
+            if rn == 0:
+                if isinstance(ln, int) and isinstance(rn, int):
+                    raise LuaError("attempt to perform 'n//0'")
+                return math.inf if ln > 0 else -math.inf
+            res = math.floor(ln / rn)
+            if isinstance(ln, float) or isinstance(rn, float):
+                return float(res)
+            return res
+        if op in ("&", "|", "~", "<<", ">>"):
+            li, ri = int(ln), int(rn)
+            if op == "&":
+                return li & ri
+            if op == "|":
+                return li | ri
+            if op == "~":
+                return li ^ ri
+            if op == "<<":
+                return (li << ri) & (2**64 - 1) if ri >= 0 else li >> -ri
+            return li >> ri if ri >= 0 else li << -ri
+        raise LuaError(f"unknown operator {op!r}")  # pragma: no cover
+
+    def _unop(self, op, e, scope):
+        v = self._eval(e, scope)
+        if op == "-":
+            return -_arith_operand(v, "-")
+        if op == "not":
+            return not _truthy(v)
+        if op == "#":
+            if isinstance(v, str):
+                return len(v)
+            if isinstance(v, LuaTable):
+                return v.length()
+            raise LuaError(f"attempt to get length of a {lua_type(v)} value")
+        if op == "~":
+            return ~int(_arith_operand(v, "~"))
+        raise LuaError(f"unknown unary operator {op!r}")  # pragma: no cover
+
+
+def _truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+def _lua_eq(l, r) -> bool:
+    if isinstance(l, bool) or isinstance(r, bool):
+        return l is r
+    if isinstance(l, (int, float)) and isinstance(r, (int, float)):
+        return float(l) == float(r)
+    if type(l) is not type(r) and not (
+        isinstance(l, str) and isinstance(r, str)
+    ):
+        if l is None and r is None:
+            return True
+        if isinstance(l, LuaTable) and isinstance(r, LuaTable):
+            return l is r
+        return False
+    if isinstance(l, LuaTable):
+        return l is r
+    return l == r
+
+
+def _call(fn, args: list | tuple):
+    if fn is None:
+        raise LuaError("attempt to call a nil value")
+    if not callable(fn):
+        raise LuaError(f"attempt to call a {lua_type(fn)} value")
+    return fn(*args)
+
+
+def _as_tuple(v) -> tuple:
+    if isinstance(v, tuple):
+        return v
+    return (v,)

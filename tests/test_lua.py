@@ -1,0 +1,192 @@
+"""Lua interpreter tests: the grammar used by the reference example scripts
+(reference examples/*.lua, project.lua) plus general language semantics."""
+
+import pytest
+
+from termdaw_tpu.lua import LuaRuntime, LuaError, LuaTable
+
+
+def run(src, **globals_):
+    rt = LuaRuntime()
+    for k, v in globals_.items():
+        rt.set_global(k, v)
+    rt.execute(src)
+    return rt
+
+
+def test_project_api_call_style():
+    calls = []
+    rt = run(
+        """
+        -- comment line
+        set_length(40.0);
+        load_sample("kick", "/tmp/kick.wav", "");
+        hit_adsr = { 0.001, 0.02, 0.0, 0.0, 0.0, 0.0 };
+        add_synth("bass", 0.35, 0.0, "bass", 0.4, 0.3, hit_adsr, 1.0, 0.8, hit_adsr, 0.0, {});
+        connect("kick", "sum")
+        """,
+        set_length=lambda s: calls.append(("len", s)),
+        load_sample=lambda n, p, m: calls.append(("sample", n, p, m)),
+        add_synth=lambda *a: calls.append(("synth",) + a),
+        connect=lambda a, b: calls.append(("conn", a, b)),
+    )
+    assert calls[0] == ("len", 40.0)
+    assert calls[1] == ("sample", "kick", "/tmp/kick.wav", "")
+    synth = calls[2]
+    assert synth[1] == "bass" and synth[2] == 0.35
+    assert isinstance(synth[7], LuaTable)
+    assert synth[7].array_items() == [0.001, 0.02, 0.0, 0.0, 0.0, 0.0]
+    assert synth[12].array_items() == []
+    assert calls[3] == ("conn", "kick", "sum")
+
+
+def test_locals_and_arithmetic():
+    rt = run("local a = 2 + 3 * 4  b = a ^ 2  c = 7 // 2  d = 7 % 3  e = 1 / 2")
+    assert rt.get_global("b") == 196.0
+    assert rt.get_global("a") is None  # locals don't leak to globals
+    assert rt.get_global("c") == 3
+    assert rt.get_global("d") == 1
+    assert rt.get_global("e") == 0.5
+
+
+def test_control_flow():
+    rt = run(
+        """
+        total = 0
+        for i = 1, 10 do total = total + i end
+        n = 0
+        while n < 5 do n = n + 1 end
+        m = 0
+        repeat m = m + 2 until m >= 6
+        if total == 55 and n == 5 then verdict = "ok" else verdict = "bad" end
+        """
+    )
+    assert rt.get_global("total") == 55
+    assert rt.get_global("verdict") == "ok"
+    assert rt.get_global("m") == 6
+
+
+def test_functions_closures_multret():
+    rt = run(
+        """
+        local function make_counter()
+            local n = 0
+            return function() n = n + 1 return n end
+        end
+        c = make_counter()
+        c() c()
+        third = c()
+
+        function divmod(a, b) return a // b, a % b end
+        q, r = divmod(17, 5)
+        """
+    )
+    assert rt.get_global("third") == 3
+    assert rt.get_global("q") == 3
+    assert rt.get_global("r") == 2
+
+
+def test_tables_and_stdlib():
+    rt = run(
+        """
+        t = { 10, 20, 30, x = "hi" }
+        table.insert(t, 40)
+        len = #t
+        s = string.format("%s-%d-%.2f", "a", 7, 1.5)
+        items = {}
+        for i, v in ipairs(t) do items[i] = v * 2 end
+        sum = 0
+        for k, v in pairs({a=1, b=2, c=3}) do sum = sum + v end
+        fl = math.floor(3.7)
+        mx = math.max(1, 9, 4)
+        """
+    )
+    t = rt.get_global("t")
+    assert t.array_items() == [10, 20, 30, 40]
+    assert t.get("x") == "hi"
+    assert rt.get_global("len") == 4
+    assert rt.get_global("s") == "a-7-1.50"
+    assert rt.get_global("items").array_items() == [20, 40, 60, 80]
+    assert rt.get_global("sum") == 6
+    assert rt.get_global("fl") == 3
+    assert rt.get_global("mx") == 9
+
+
+def test_strings_and_concat():
+    rt = run('s = "ab" .. "cd" .. 12  n = tonumber("42") + 1  b = "x" == "x"')
+    assert rt.get_global("s") == "abcd12"
+    assert rt.get_global("n") == 43
+    assert rt.get_global("b") is True
+
+
+def test_method_calls_and_string_methods():
+    rt = run(
+        """
+        obj = { v = 10 }
+        function obj:get() return self.v end
+        got = obj:get()
+        up = ("hello"):upper()
+        """
+    )
+    assert rt.get_global("got") == 10
+    assert rt.get_global("up") == "HELLO"
+
+
+def test_long_comments_and_strings():
+    rt = run(
+        """
+        --[[ this is a
+             block comment ]]
+        s = [[line1
+line2]]
+        """
+    )
+    assert rt.get_global("s") == "line1\nline2"
+
+
+def test_errors():
+    with pytest.raises(LuaError):
+        run("x = nil + 1")
+    with pytest.raises(LuaError):
+        run("undefined_fn(1)")
+    with pytest.raises(LuaError):
+        run("x = ")  # syntax error surfaces as LuaError
+
+
+def test_pcall():
+    rt = run(
+        """
+        ok1, err = pcall(function() error("boom") end)
+        ok2, val = pcall(function() return 5 end)
+        """
+    )
+    assert rt.get_global("ok1") is False
+    assert "boom" in rt.get_global("err")
+    assert rt.get_global("ok2") is True
+    assert rt.get_global("val") == 5
+
+
+def test_reference_example_scripts_parse():
+    """The shipped example scripts must execute against stub APIs.
+
+    Grammar coverage for reference examples/*.lua + project.lua."""
+    import pathlib
+
+    noop = lambda *a: None
+    api = {
+        name: noop
+        for name in [
+            "set_length", "set_render_samplerate", "set_render_bitdepth",
+            "set_output_file", "load_sample", "load_resource",
+            "load_midi_floww", "declare_stream", "load_lv2", "parameter",
+            "add_sum", "add_normalize", "add_sampleloop", "add_sample_multi",
+            "add_sample_lerp", "add_debug_sine", "add_synth", "add_sampsyn",
+            "add_lv2fx", "add_adsr", "add_bandpass", "connect", "set_output",
+        ]
+    }
+    ref = pathlib.Path("/root/reference")
+    scripts = list((ref / "examples").glob("*.lua")) + [ref / "project.lua"]
+    if not scripts or not ref.exists():
+        pytest.skip("reference not mounted")
+    for script in scripts:
+        run(script.read_text(), **api)
