@@ -1,0 +1,287 @@
+"""FlowwBank: named note-event streams with block-cursor semantics.
+
+A "floww" is an array of events, float32 rows (id, t_sec, note, vel) where
+vel <= 0.001 means note-off (reference floww.rs:74, 114, 134). The bank keeps
+the reference's time-cursor model exactly (floww.rs:70-141): a global `frame`,
+per-floww `start_indices` advanced by `set_time` (full rescan) or
+`set_time_to_next_block` (incremental skip), and per-block event iteration in
+two flavors:
+
+* drum mode (`get_block_drum`): at most one note-ON hit per frame, stale
+  events skipped, note-offs ignored (floww.rs:99-121);
+* simple mode (`get_block_simple`): all events at exactly the queried frame,
+  in order; a stale event at the cursor blocks the rest of the block
+  (floww.rs:124-141).
+
+Instead of the reference's per-frame pull, this implementation exposes
+**bake** methods that run the identical cursor semantics event-wise over a
+range of blocks and return dense numpy event tables. The compiled XLA render
+program consumes those tables; the per-frame Rust loops never existed here.
+
+Event frames are computed as `int(float32(t) * float32(sr))` — float32
+multiply then truncation — to match the reference's `(t * sr as f32) as
+usize` (floww.rs:107).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fileio.midi import read_floww_from_midi, MidiError
+from ..fileio.packets import FlowwPacket, KIND_EVENTS, KIND_TEXT
+from ..utils import term
+
+
+def event_frames(events: np.ndarray, sr: int) -> np.ndarray:
+    """Map event times (seconds) to sample frames, f32-faithfully."""
+    if events.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int64)
+    t = events[:, 1].astype(np.float32)
+    f = t * np.float32(sr)
+    f = np.maximum(f, np.float32(0.0))  # Rust `as usize` clamps negatives to 0
+    return f.astype(np.int64)
+
+
+@dataclass
+class DrumBake:
+    """Baked drum-mode hits for a block range: absolute frames, notes, vels."""
+
+    frames: np.ndarray  # int64 [H]
+    notes: np.ndarray   # float32 [H]
+    vels: np.ndarray    # float32 [H]
+
+    @staticmethod
+    def empty() -> "DrumBake":
+        return DrumBake(
+            np.zeros((0,), np.int64), np.zeros((0,), np.float32),
+            np.zeros((0,), np.float32),
+        )
+
+    def filter_note(self, target: int | None) -> "DrumBake":
+        """Apply the consumer-side note filter |note - n| < 0.01
+        (reference extensions.rs:353-356)."""
+        if target is None:
+            return self
+        keep = np.abs(self.notes - np.float32(target)) < 0.01
+        return DrumBake(self.frames[keep], self.notes[keep], self.vels[keep])
+
+
+@dataclass
+class SimpleBake:
+    """Baked simple-mode events: absolute frames, on flags, notes, vels."""
+
+    frames: np.ndarray  # int64 [E]
+    ons: np.ndarray     # bool  [E]
+    notes: np.ndarray   # float32 [E]
+    vels: np.ndarray    # float32 [E]
+
+    @staticmethod
+    def empty() -> "SimpleBake":
+        z = np.zeros((0,), np.float32)
+        return SimpleBake(np.zeros((0,), np.int64), np.zeros((0,), bool), z, z)
+
+
+class FlowwBank:
+    def __init__(self, sr: int, bl: int) -> None:
+        self.sr = sr
+        self.bl = bl
+        self.frame = 0
+        self.flowws: list[np.ndarray] = []
+        self.start_indices: list[int] = []
+        self.names: dict[str, int] = {}
+        self.stream_list: list[int] = []
+
+    # -- registration (reference floww.rs:23-64) ---------------------------
+    def reset(self) -> None:
+        self.frame = 0
+        self.flowws.clear()
+        self.start_indices.clear()
+        self.names.clear()
+        self.stream_list.clear()
+
+    def declare_floww(self, name: str, events: np.ndarray) -> int:
+        events = np.asarray(events, dtype=np.float32).reshape(-1, 4)
+        self.flowws.append(events)
+        self.start_indices.append(0)
+        index = len(self.flowws) - 1
+        self.names[name] = index
+        return index
+
+    def add_floww(self, name: str, path: str) -> None:
+        """Load an SMF file. Raises (message formatted like the reference,
+        floww.rs:45) on parse failure."""
+        try:
+            events = read_floww_from_midi(path)
+        except (MidiError, OSError) as e:
+            raise ValueError(
+                f'Could not read midi file: "{path}". ({e})'
+            ) from None
+        self.declare_floww(name, events)
+
+    def declare_stream(self, name: str) -> None:
+        index = self.declare_floww(name, np.zeros((0, 4), np.float32))
+        self.stream_list.append(index)
+
+    def append_streams(self, packets: list[FlowwPacket]) -> list[str]:
+        """Route EVENTS packets into named streams; return TEXT messages
+        (reference floww.rs:55-57 `unpacket`)."""
+        msgs: list[str] = []
+        for pkt in packets:
+            if pkt.kind == KIND_TEXT:
+                msgs.append(pkt.text)
+            elif pkt.kind == KIND_EVENTS:
+                idx = self.names.get(pkt.name)
+                if idx is None:
+                    msgs.append(f"unknown stream: {pkt.name}")
+                    continue
+                ev = pkt.events if pkt.events is not None else np.zeros((0, 4), np.float32)
+                self.flowws[idx] = np.concatenate([self.flowws[idx], ev], axis=0)
+        return msgs
+
+    def trim_streams(self) -> None:
+        """Drop consumed prefixes of stream flowws (reference floww.rs:59-64)."""
+        for index in self.stream_list:
+            s = self.start_indices[index]
+            if s > 0:
+                self.flowws[index] = self.flowws[index][s:]
+                self.start_indices[index] = 0
+
+    def get_index(self, name: str) -> int | None:
+        return self.names.get(name)
+
+    # -- time cursor (reference floww.rs:70-96) ----------------------------
+    def _set_start_indices_to_frame(self, t_frame: int, do_skip: bool) -> None:
+        for i, floww in enumerate(self.flowws):
+            skip = self.start_indices[i] if do_skip else 0
+            frames = event_frames(floww, self.sr)
+            for j in range(skip, len(frames)):
+                if frames[j] >= t_frame:
+                    self.start_indices[i] = j
+                    break
+            # quirk preserved: if no event is at/after t_frame the start
+            # index is left unchanged (reference floww.rs:70-81)
+
+    def set_time(self, t: int) -> None:
+        self._set_start_indices_to_frame(t, do_skip=False)
+        self.frame = t
+
+    def set_time_to_next_block(self) -> None:
+        self.frame += self.bl
+        self._set_start_indices_to_frame(self.frame, do_skip=True)
+
+    def advance_blocks(self, n: int) -> None:
+        for _ in range(n):
+            self.set_time_to_next_block()
+
+    # -- baking (block-pull semantics, event-wise) -------------------------
+    def bake_drum(self, index: int, n_blocks: int) -> DrumBake:
+        """Replay `start_block` + per-frame `get_block_drum` over `n_blocks`
+        blocks starting at the current cursor, without mutating state.
+
+        Per block (reference floww.rs:93-121): the block pointer starts at
+        the floww's start index; stale events (frame < query) are skipped;
+        the first ON event at a queried frame is the hit (offs consumed and
+        ignored); remaining same-frame events become stale. Start indices
+        advance between blocks per floww.rs:88-91.
+        """
+        if index >= len(self.flowws):
+            return DrumBake.empty()
+        events = self.flowws[index]
+        frames = event_frames(events, self.sr)
+        vels = events[:, 3] if len(events) else np.zeros((0,), np.float32)
+        notes = events[:, 2] if len(events) else np.zeros((0,), np.float32)
+        n_ev = len(frames)
+        s = self.start_indices[index]
+        out_f: list[int] = []
+        out_n: list[float] = []
+        out_v: list[float] = []
+        blk_start = self.frame
+        for _ in range(n_blocks):
+            blk_end = blk_start + self.bl
+            bi = s
+            qmin = blk_start  # smallest frame not yet queried
+            while bi < n_ev:
+                f = frames[bi]
+                if f < qmin:
+                    bi += 1
+                    continue
+                if f >= blk_end:
+                    break
+                bi += 1
+                if vels[bi - 1] > 0.001:
+                    out_f.append(int(f))
+                    out_n.append(float(notes[bi - 1]))
+                    out_v.append(float(vels[bi - 1]))
+                    qmin = int(f) + 1
+                else:
+                    # an off is consumed by the query at its own frame; the
+                    # query frame has therefore advanced to f
+                    qmin = int(f)
+            # set_time_to_next_block for this floww (skip=True)
+            j = s
+            while j < n_ev:
+                if frames[j] >= blk_end:
+                    s = j
+                    break
+                j += 1
+            blk_start = blk_end
+        return DrumBake(
+            np.asarray(out_f, dtype=np.int64),
+            np.asarray(out_n, dtype=np.float32),
+            np.asarray(out_v, dtype=np.float32),
+        )
+
+    def bake_simple(self, index: int, n_blocks: int) -> SimpleBake:
+        """Replay `start_block` + per-frame `get_block_simple` over
+        `n_blocks` blocks from the current cursor, without mutating state.
+
+        Per query the reference returns the consecutive run of events whose
+        frame equals the queried frame and stops at the first mismatch —
+        including stale events, which therefore block the remainder of the
+        block (reference floww.rs:124-141).
+        """
+        if index >= len(self.flowws):
+            return SimpleBake.empty()
+        events = self.flowws[index]
+        frames = event_frames(events, self.sr)
+        n_ev = len(frames)
+        s = self.start_indices[index]
+        out_f: list[int] = []
+        out_on: list[bool] = []
+        out_n: list[float] = []
+        out_v: list[float] = []
+        blk_start = self.frame
+        for _ in range(n_blocks):
+            blk_end = blk_start + self.bl
+            bi = s
+            q = blk_start
+            while bi < n_ev and q < blk_end:
+                f = frames[bi]
+                if f == q:
+                    out_f.append(int(f))
+                    out_on.append(bool(events[bi, 3] > 0.001))
+                    out_n.append(float(events[bi, 2]))
+                    out_v.append(float(events[bi, 3]))
+                    bi += 1
+                elif f > q:
+                    if f >= blk_end:
+                        break
+                    q = int(f)
+                else:
+                    # stale event at the cursor: blocks the rest of the block
+                    break
+            j = s
+            while j < n_ev:
+                if frames[j] >= blk_end:
+                    s = j
+                    break
+                j += 1
+            blk_start = blk_end
+        return SimpleBake(
+            np.asarray(out_f, dtype=np.int64),
+            np.asarray(out_on, dtype=bool),
+            np.asarray(out_n, dtype=np.float32),
+            np.asarray(out_v, dtype=np.float32),
+        )

@@ -1,0 +1,163 @@
+"""ADSR envelope evaluation (piecewise-linear, vectorized).
+
+Faithful to the reference's envelope math (adsr.rs:41-114): a 9-field
+configuration (std/attack/decay/sustain/release x seconds+velocity) and four
+evaluators:
+
+* apply_ads   — attack/decay/sustain, holding sustain forever (adsr.rs:62-69)
+* apply_r     — release from a captured value (adsr.rs:71-73)
+* apply_adsr  — fixed timeline including release (adsr.rs:75-86)
+* apply_r_rt  — release from the ADS value at release time (adsr.rs:89-92)
+
+All evaluators accept scalar or array `t` (JAX or numpy) and compute in
+float32. Deviation (documented): a zero-length segment evaluates to its
+start velocity instead of the reference's 0/0 = NaN (adsr.rs:47-48).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class AdsrConf(NamedTuple):
+    """Reference adsr.rs:1-12. Plain floats — static per compiled graph."""
+
+    std_vel: float = 0.0
+    attack_sec: float = 0.0
+    attack_vel: float = 0.0
+    decay_sec: float = 0.0
+    decay_vel: float = 0.0
+    sustain_sec: float = 0.0
+    sustain_vel: float = 0.0
+    release_sec: float = 0.0
+    release_vel: float = 0.0
+
+    def max_vel(self) -> float:
+        # reference adsr.rs:32-38
+        return max(
+            self.std_vel, self.attack_vel, self.decay_vel,
+            self.sustain_vel, self.release_vel,
+        )
+
+
+def hit_conf(
+    attack_sec: float, decay_sec: float, decay_vel: float,
+    sustain_sec: float, sustain_vel: float, release_sec: float,
+) -> AdsrConf:
+    """6-float shorthand (reference adsr.rs:15-30)."""
+    return AdsrConf(
+        std_vel=0.0,
+        attack_sec=attack_sec, attack_vel=1.0,
+        decay_sec=decay_sec, decay_vel=decay_vel,
+        sustain_sec=sustain_sec, sustain_vel=sustain_vel,
+        release_sec=release_sec, release_vel=0.0,
+    )
+
+
+def build_adsr_conf(arr: list[float]) -> AdsrConf | None:
+    """Accept length 0 / 6 / 9 float arrays (reference adsr.rs:94-114)."""
+    if len(arr) == 0:
+        return AdsrConf()
+    if len(arr) == 6:
+        return hit_conf(*[float(x) for x in arr])
+    if len(arr) == 9:
+        return AdsrConf(*[float(x) for x in arr])
+    return None
+
+
+def lerp(a, b, t):
+    return a + t * (b - a)
+
+
+def _safe_div(num, den: float):
+    """t/seg with a zero-length segment evaluating to 0 (reference would NaN)."""
+    if den <= 0.0:
+        return jnp.zeros_like(num)
+    return num / jnp.float32(den)
+
+
+def apply_ads(conf: AdsrConf, t):
+    """ADS value at time t, holding sustain_vel past the sustain window."""
+    t = jnp.asarray(t, jnp.float32)
+    a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
+    in_attack = t <= a
+    in_decay = t <= a + d
+    in_sustain = t <= a + d + s
+    v_attack = lerp(
+        jnp.float32(conf.std_vel), jnp.float32(conf.attack_vel), _safe_div(t, a)
+    )
+    v_decay = lerp(
+        jnp.float32(conf.attack_vel), jnp.float32(conf.decay_vel),
+        _safe_div(t - a, d),
+    )
+    v_sustain = lerp(
+        jnp.float32(conf.decay_vel), jnp.float32(conf.sustain_vel),
+        _safe_div(t - a - d, s),
+    )
+    v_hold = jnp.float32(conf.sustain_vel)
+    return jnp.where(
+        in_attack, v_attack,
+        jnp.where(in_decay, v_decay, jnp.where(in_sustain, v_sustain, v_hold)),
+    )
+
+
+def apply_r(conf: AdsrConf, t, old_val):
+    """Release from old_val towards release_vel over release_sec."""
+    t = jnp.asarray(t, jnp.float32)
+    r = conf.release_sec
+    frac = jnp.minimum(_safe_div(t, r) if r > 0 else jnp.ones_like(t), 1.0)
+    if r <= 0.0:
+        # zero release: immediately at release_vel for t >= 0 (reference
+        # t/0 = inf -> min(1) = 1)
+        frac = jnp.ones_like(t)
+    return lerp(jnp.asarray(old_val, jnp.float32), jnp.float32(conf.release_vel), frac)
+
+
+def apply_adsr(conf: AdsrConf, t):
+    """Full fixed-timeline envelope incl. release (reference adsr.rs:75-86)."""
+    t = jnp.asarray(t, jnp.float32)
+    a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
+    ads = apply_ads(conf, t)
+    in_ads = t <= a + d + s
+    r = conf.release_sec
+    rel_t = t - (a + d + s)
+    frac = jnp.minimum(_safe_div(rel_t, r) if r > 0 else jnp.ones_like(t), 1.0)
+    if r <= 0.0:
+        frac = jnp.ones_like(t)
+    v_rel = lerp(jnp.float32(conf.sustain_vel), jnp.float32(conf.release_vel), frac)
+    return jnp.where(in_ads, ads, v_rel)
+
+
+def apply_r_rt(conf: AdsrConf, t, rt):
+    """Release from the ADS value sampled at release time rt (adsr.rs:89-92)."""
+    rv = apply_ads(conf, rt)
+    return apply_r(conf, t, rv)
+
+
+# -- numpy oracle (tests compare the jnp kernels against this) --------------
+
+def np_apply_ads(conf: AdsrConf, t: np.ndarray) -> np.ndarray:
+    t = np.asarray(t, np.float32)
+    out = np.empty_like(t)
+    a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
+
+    def seg(t0, dur, v0, v1, tt):
+        if dur <= 0:
+            return np.float32(v0)
+        return np.float32(v0) + (tt - t0) / np.float32(dur) * np.float32(v1 - v0)
+
+    flat = t.reshape(-1)
+    res = np.empty_like(flat)
+    for i, tt in enumerate(flat):
+        if tt <= a:
+            res[i] = seg(0, a, conf.std_vel, conf.attack_vel, tt)
+        elif tt <= a + d:
+            res[i] = seg(a, d, conf.attack_vel, conf.decay_vel, tt)
+        elif tt <= a + d + s:
+            res[i] = seg(a + d, s, conf.decay_vel, conf.sustain_vel, tt)
+        else:
+            res[i] = conf.sustain_vel
+    return res.reshape(t.shape)

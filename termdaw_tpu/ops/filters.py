@@ -1,0 +1,113 @@
+"""Band-pass / band-cut filter: paired 1-pole low+high IIRs.
+
+Reference semantics (extensions.rs:70-79, 173-194, 653-689):
+
+* gamma = 1 - e^(-2*pi*fc/sr), cutoffs clamped to [0, 20kHz]
+  (extensions.rs:173-194);
+* per frame: ll = lprev + lgamma*(l - lprev) (1-pole LP), hl likewise;
+  cut = (lmul*lp + hmul*(x - hp)) * 0.5; pass = x - cut; output selected by
+  the pass/cut mode (extensions.rs:671-688);
+* first-sample priming: filter states seeded with the first input sample
+  (extensions.rs:664-670);
+* skip (output = summed input unchanged, state untouched) when wet < 1e-4
+  or both gammas are 0 (extensions.rs:657-658). Note the reference's `wet`
+  is a pure on/off gate here — there is no dry/wet lerp in band_pass_gen.
+
+**Documented deviation** (required by SURVEY.md §2c): the reference computes
+the right pass channel from the LEFT cut value (`passr = r - cutl`,
+extensions.rs:685) — a bug. We implement the intended `passr = r - cutr`.
+
+TPU formulation: the 1-pole IIR y[i] = (1-g)*y[i-1] + g*x[i] is a linear
+recurrence, evaluated over the whole timeline as a parallel
+`associative_scan` over affine maps (A, B): y = A*y_prev + B, composed as
+(A2*A1, A2*B1 + B2). Four lanes (low/high x L/R) run in one scan.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gamma_from_cutoff(cut_hz: float, sr: int) -> float:
+    """Reference extensions.rs:173-194."""
+    fc = min(max(cut_hz, 0.0), 20000.0)
+    return 1.0 - math.exp(-2.0 * math.pi * fc / sr)
+
+
+class BandPassState(NamedTuple):
+    prevs: jnp.ndarray  # [4] = (low-L, low-R, high-L, high-R)
+    first: jnp.ndarray  # bool scalar
+
+    @staticmethod
+    def init() -> "BandPassState":
+        return BandPassState(
+            prevs=jnp.zeros(4, jnp.float32), first=jnp.asarray(True)
+        )
+
+
+def _affine_combine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a2 * a1, a2 * b1 + b2
+
+
+def first_order_scan(x: jnp.ndarray, a, y0: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate y[i] = a*y[i-1] + (1-a)... generic: y[i] = a*y[i-1] + b[i]
+    where b = (1-a)*x ... callers pass b directly via x already scaled.
+
+    Here: x is B [T, C]; a is A broadcastable [C]; y0 is [C].
+    Returns y [T, C]."""
+    T = x.shape[0]
+    A = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
+    A_cum, B_cum = jax.lax.associative_scan(_affine_combine, (A, x), axis=0)
+    return A_cum * y0 + B_cum
+
+
+def band_pass_timeline(
+    x: jnp.ndarray,
+    state: BandPassState,
+    lgamma,
+    hgamma,
+    pass_mode: bool,
+    wet,
+) -> tuple[jnp.ndarray, BandPassState]:
+    """Filter a [F, 2] window. Returns (out, new_state).
+
+    lgamma/hgamma/wet are traced scalars; pass_mode is static.
+    """
+    lg = jnp.asarray(lgamma, jnp.float32)
+    hg = jnp.asarray(hgamma, jnp.float32)
+    skip = jnp.logical_or(
+        jnp.asarray(wet, jnp.float32) < 0.0001,
+        jnp.logical_and(lg == 0.0, hg == 0.0),
+    )
+
+    lmul = jnp.where(lg == 0.0, 0.0, 1.0)
+    hmul = jnp.where(hg == 0.0, 0.0, 1.0)
+    pass_mul = jnp.float32(1.0 if pass_mode else 0.0)
+    cut_mul = 1.0 - pass_mul
+
+    y0 = jnp.where(state.first, jnp.tile(x[0], 2), state.prevs)  # [4]: lL lR hL hR
+    g = jnp.stack([lg, lg, hg, hg])  # [4]
+    a = 1.0 - g
+    xin = jnp.concatenate([x, x], axis=1)  # [F, 4] lanes lL lR hL hR
+    b = g * xin
+    y = first_order_scan(b, a, y0)  # [F, 4]
+
+    lp = y[:, 0:2]
+    hp = y[:, 2:4]
+    cut = (lmul * lp + hmul * (x - hp)) * 0.5
+    pas = x - cut
+    out = cut * cut_mul + pas * pass_mul
+
+    new_prevs = y[-1]
+    out = jnp.where(skip, x, out)
+    new_state = BandPassState(
+        prevs=jnp.where(skip, state.prevs, new_prevs),
+        first=jnp.where(skip, state.first, jnp.asarray(False)),
+    )
+    return out, new_state

@@ -1,0 +1,33 @@
+"""Final quantize kernel: float32 stereo -> interleaved PCM ints.
+
+Mirrors the reference's render sink math (state.rs:515-532): amplitude is
+(1 << (bd-1)) - 1 for bd < 32 and i32::MAX for 32-bit; the float->int cast
+truncates toward zero and saturates (Rust `as` semantics).
+
+Runs on-device so a full render stays on the TPU until the final int copy.
+Note: in float32 the 32-bit saturation point is 2147483520 (the largest f32
+below 2^31); the reference saturates at 2147483647 — a <=127-count deviation
+only reachable with clipping gain into a 32-bit render.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def amplitude_for(bd: int) -> float:
+    return float((1 << (bd - 1)) - 1) if bd < 32 else float(2**31 - 1)
+
+
+@partial(jax.jit, static_argnames=("bd",))
+def quantize_interleave(x: jnp.ndarray, bd: int) -> jnp.ndarray:
+    """[F, 2] float32 -> [2F] int32 interleaved, scaled/truncated/saturated."""
+    amp = jnp.float32(amplitude_for(bd))
+    v = x.reshape(-1) * amp
+    lo = jnp.float32(-(2.0 ** (bd - 1)))
+    hi = jnp.float32(2.0 ** (bd - 1) - 1) if bd < 32 else jnp.float32(2147483520.0)
+    v = jnp.clip(v, lo, hi)
+    return v.astype(jnp.int32)

@@ -1,0 +1,169 @@
+"""Event layer: SMF parsing, FlowwBank cursor/bake semantics, packets."""
+
+import numpy as np
+import pytest
+
+from termdaw_tpu.fileio.midi import read_floww_from_midi, write_midi, MidiError
+from termdaw_tpu.fileio.packets import (
+    encode_events, encode_text, PacketDecoder, KIND_EVENTS, KIND_TEXT,
+)
+from termdaw_tpu.banks.flowwbank import FlowwBank, event_frames
+
+
+def ev(t, note, vel, chan=0.0):
+    return [chan, t, note, vel]
+
+
+class TestMidi:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "t.mid"
+        notes = [(0.0, 0.5, 60, 100), (0.5, 0.25, 64, 80), (1.0, 1.0, 67, 127)]
+        write_midi(p, notes, bpm=120.0)
+        fl = read_floww_from_midi(p)
+        ons = fl[fl[:, 3] > 0.001]
+        offs = fl[fl[:, 3] <= 0.001]
+        assert len(ons) == 3 and len(offs) == 3
+        np.testing.assert_allclose(ons[:, 1], [0.0, 0.5, 1.0], atol=1e-4)
+        np.testing.assert_allclose(ons[:, 2], [60, 64, 67])
+        np.testing.assert_allclose(ons[:, 3], [100 / 127, 80 / 127, 1.0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(offs[:, 1], [0.5, 0.75, 2.0], atol=1e-4)
+
+    def test_tempo_change_scaling(self, tmp_path):
+        p = tmp_path / "t240.mid"
+        write_midi(p, [(1.0, 0.5, 60, 100)], bpm=240.0)
+        fl = read_floww_from_midi(p)
+        np.testing.assert_allclose(fl[0, 1], 1.0, atol=1e-4)
+
+    def test_bad_file(self, tmp_path):
+        p = tmp_path / "bad.mid"
+        p.write_bytes(b"garbage data")
+        with pytest.raises(MidiError):
+            read_floww_from_midi(p)
+
+    def test_noteon_vel0_is_off(self, tmp_path):
+        """Note-on with velocity 0 is a note-off per the MIDI spec."""
+        import struct
+
+        def varlen0():
+            return bytes([0])
+
+        body = varlen0() + bytes([0x90, 60, 100])
+        body += bytes([0x60]) + bytes([0x90, 60, 0])  # running status, vel 0
+        body += varlen0() + bytes([0xFF, 0x2F, 0x00])
+        blob = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        blob += b"MTrk" + struct.pack(">I", len(body)) + body
+        p = tmp_path / "v0.mid"
+        p.write_bytes(blob)
+        fl = read_floww_from_midi(p)
+        assert fl[0, 3] > 0.5 and fl[1, 3] == 0.0
+
+
+class TestFlowwBank:
+    def make(self, events, sr=100, bl=10):
+        fb = FlowwBank(sr, bl)
+        fb.declare_floww("f", np.asarray(events, np.float32))
+        return fb
+
+    def test_drum_basic(self):
+        # events at frames 5, 15 (t = f/sr)
+        fb = self.make([ev(0.05, 60, 0.9), ev(0.15, 62, 0.8)])
+        bake = fb.bake_drum(0, 2)
+        np.testing.assert_array_equal(bake.frames, [5, 15])
+        np.testing.assert_allclose(bake.vels, [0.9, 0.8])
+
+    def test_drum_skips_offs_and_duplicates(self):
+        # off at frame 5, two ons at frame 5: only first on fires
+        fb = self.make([
+            ev(0.05, 60, 0.0), ev(0.05, 61, 0.9), ev(0.05, 62, 0.7),
+        ])
+        bake = fb.bake_drum(0, 1)
+        np.testing.assert_array_equal(bake.frames, [5])
+        np.testing.assert_allclose(bake.notes, [61])
+
+    def test_drum_note_filter(self):
+        fb = self.make([ev(0.01, 60, 0.9), ev(0.02, 62, 0.9)])
+        bake = fb.bake_drum(0, 1).filter_note(62)
+        np.testing.assert_array_equal(bake.frames, [2])
+
+    def test_simple_on_off(self):
+        fb = self.make([ev(0.03, 60, 0.9), ev(0.07, 60, 0.0)])
+        bake = fb.bake_simple(0, 1)
+        np.testing.assert_array_equal(bake.frames, [3, 7])
+        np.testing.assert_array_equal(bake.ons, [True, False])
+
+    def test_cursor_advance_and_set_time(self):
+        fb = self.make([ev(0.05, 60, 0.9), ev(0.25, 62, 0.8)])
+        # consume first block: only frame-5 hit
+        b0 = fb.bake_drum(0, 1)
+        np.testing.assert_array_equal(b0.frames, [5])
+        fb.set_time_to_next_block()
+        b1 = fb.bake_drum(0, 2)  # blocks [10,30): frame-25 hit
+        np.testing.assert_array_equal(b1.frames, [25])
+        fb.set_time(0)
+        b_all = fb.bake_drum(0, 3)
+        np.testing.assert_array_equal(b_all.frames, [5, 25])
+
+    def test_bake_does_not_mutate(self):
+        fb = self.make([ev(0.05, 60, 0.9)])
+        fb.bake_drum(0, 5)
+        assert fb.frame == 0 and fb.start_indices[0] == 0
+
+    def test_streams_append_trim(self):
+        fb = FlowwBank(100, 10)
+        fb.declare_stream("s")
+        pkts = PacketDecoder().feed(
+            encode_events("s", np.asarray([ev(0.05, 60, 0.9)], np.float32))
+            + encode_text("hello")
+        )
+        msgs = fb.append_streams(pkts)
+        assert msgs == ["hello"]
+        assert fb.flowws[0].shape == (1, 4)
+        bake = fb.bake_drum(0, 1)
+        np.testing.assert_array_equal(bake.frames, [5])
+        # quirk preserved (reference floww.rs:70-81): with no event at/after
+        # the new frame, the start index does NOT advance, so trim keeps it
+        fb.set_time_to_next_block()
+        fb.trim_streams()
+        assert fb.flowws[0].shape[0] == 1
+        # once a later event exists, the cursor advances past consumed ones
+        fb.append_streams(
+            PacketDecoder().feed(
+                encode_events("s", np.asarray([ev(0.15, 61, 0.9)], np.float32))
+            )
+        )
+        fb.set_time(fb.frame)  # re-sync like the stream workflow does
+        fb.trim_streams()
+        assert fb.flowws[0].shape[0] == 1  # old frame-5 event dropped
+        np.testing.assert_allclose(fb.flowws[0][0, 2], 61)
+
+    def test_event_frames_f32_faithful(self):
+        # t*sr computed in f32 then truncated
+        events = np.asarray([ev(0.1, 60, 1.0)], np.float32)
+        f = event_frames(events, 44100)
+        expect = int(np.float32(0.1) * np.float32(44100))
+        assert f[0] == expect
+
+    def test_unknown_stream_reports(self):
+        fb = FlowwBank(100, 10)
+        msgs = fb.append_streams(
+            PacketDecoder().feed(
+                encode_events("nope", np.zeros((0, 4), np.float32))
+            )
+        )
+        assert msgs == ["unknown stream: nope"]
+
+
+class TestPackets:
+    def test_roundtrip_split_feed(self):
+        evs = np.asarray([ev(0.5, 64, 0.7), ev(1.0, 65, 0.0)], np.float32)
+        blob = encode_events("drums", evs) + encode_text("msg")
+        dec = PacketDecoder()
+        got = []
+        # feed one byte at a time: decoder must handle partial frames
+        for i in range(len(blob)):
+            got.extend(dec.feed(blob[i : i + 1]))
+        assert len(got) == 2
+        assert got[0].kind == KIND_EVENTS and got[0].name == "drums"
+        np.testing.assert_allclose(got[0].events, evs)
+        assert got[1].kind == KIND_TEXT and got[1].text == "msg"
