@@ -1,0 +1,521 @@
+"""Session State: the Lua -> engine bridge, refresh/diff, render, scan.
+
+Mirrors the reference State (state.rs:27-577):
+
+* `refresh()` re-reads the main Lua file, registers the ~23 project-API
+  globals (state.rs:83-159), executes the script, diffs declared resources
+  against the live banks (generic add/remove diff, state.rs:172-186),
+  reloads what changed, rebuilds the graph from scratch in category order
+  (state.rs:327-459), validates it, and **compiles it to XLA**
+  (graph/compile.py) — the step the reference doesn't have.
+* `render()` bounces `cs` blocks to an int WAV with quality warnings
+  (state.rs:477-577); down-sampling only when project sr > render sr
+  (chunks are written unchanged under a higher declared rate,
+  state.rs:562-574).
+* `scan_exact()` is the 2-pass normalization scan (graph.rs:222-237).
+
+Documented deviations:
+* render aligns the floww cursor to the graph time at start (the reference
+  leaves fb at its previous position, making a second render silent for
+  event-driven vertices — state.rs:575 resets only g);
+* a resource/graph build failure aborts the refresh with a message instead
+  of panicking (state.rs:393, 410-413);
+* render down-sampling filters the whole bounce in one pass instead of
+  rubato's per-chunk streaming (same filter recipe; no chunk-edge state).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..banks import SampleBank, FlowwBank, BufferBank, SampleLoadMethod
+from ..config import Config
+from ..fileio.wav import WavWriter
+from ..fileio.wavetable import WaveTable, parse_wavetable_from_buffer
+from ..graph import Graph, VertexDecl, CompiledGraph
+from ..graph import graph as G
+from ..lua import LuaRuntime, LuaError, LuaTable
+from ..ops.adsr import build_adsr_conf
+from ..ops.quantize import quantize_interleave, amplitude_for
+from ..ops.resample import resample_device
+from .plugins import PluginHost, AddPluginError
+from ..utils.term import DEFAULT, BLUE, YELLOW, RED, GREEN
+
+# blocks per device call when rendering long timelines (bounds peak memory;
+# windows chain exactly through carried state)
+RENDER_WINDOW_BLOCKS = 512
+
+
+def _floats(v) -> list[float]:
+    """Lua {…} table -> float list (ADSR configs, doc.md:91-94)."""
+    if isinstance(v, LuaTable):
+        return [float(x) for x in v.array_items()]
+    if v is None:
+        return []
+    return [float(x) for x in v]
+
+
+class RefreshAbort(Exception):
+    pass
+
+
+class State:
+    def __init__(self, config: Config, wdir: str) -> None:
+        psr = config.settings.project_samplerate
+        bl = config.settings.buffer_length
+        self.config = config
+        self.wdir = wdir
+        self.lua = LuaRuntime()
+        self.sb = SampleBank(psr)
+        self.g = Graph(bl, psr)
+        self.host = PluginHost()
+        self.fb = FlowwBank(psr, bl)
+        self.bb = BufferBank()
+        self.contents = ""
+        self.loaded = False
+        self.cs = 0
+        self.render_sr = 48000       # defaults per reference main.rs:89-92
+        self.bd = 16
+        self.output_vertex = ""
+        self.output_file = "outp.wav"
+        self.cur_samples: list[tuple] = []
+        self.cur_resources: list[tuple] = []
+        self.cur_lv2plugins: list[tuple] = []
+        self.cur_lv2params: list[tuple] = []
+        self.compiled: CompiledGraph | None = None
+
+    # ------------------------------------------------------------------ refresh
+    def refresh(self) -> None:
+        self.loaded = False
+        try:
+            self._refresh_inner()
+        except RefreshAbort:
+            return
+
+    def _refresh_inner(self) -> None:
+        psr = self.config.settings.project_samplerate
+        bl = self.config.settings.buffer_length
+
+        main_path = Path(self.wdir) / self.config.settings.main
+        try:
+            self.contents = main_path.read_text()
+        except OSError as e:
+            print(f"{RED}Can't open main lua file!{DEFAULT}\n\t{e}")
+            raise RefreshAbort from None
+
+        new_samples: list[tuple] = []
+        new_resources: list[tuple] = []
+        new_lv2plugins: list[tuple] = []
+        new_lv2params: list[tuple] = []
+        midis: list[tuple] = []
+        streams: list[str] = []
+        sums: list[tuple] = []
+        norms: list[tuple] = []
+        sampleloops: list[tuple] = []
+        samplemultis: list[tuple] = []
+        samplelerps: list[tuple] = []
+        debugsines: list[tuple] = []
+        synths: list[tuple] = []
+        sampsyns: list[tuple] = []
+        lv2fxs: list[tuple] = []
+        adsrs: list[tuple] = []
+        bandpasses: list[tuple] = []
+        edges: list[tuple] = []
+        scalars = {
+            "cs": self.cs, "render_sr": self.render_sr, "bd": self.bd,
+            "output_file": self.output_file,
+            "output_vertex": self.output_vertex,
+        }
+
+        # ---- project API globals (reference state.rs:83-159) -----------
+        lua = self.lua
+
+        def seed(name, vec, conv=lambda a: a):
+            lua.set_global(name, lambda *a: vec.append(conv(a)))
+
+        lua.set_global(
+            "set_length",
+            lambda seconds: scalars.__setitem__(
+                "cs", int(np.ceil(psr * float(seconds) / bl))
+            ),
+        )
+        lua.set_global(
+            "set_render_samplerate",
+            lambda sr: scalars.__setitem__("render_sr", int(sr)),
+        )
+        lua.set_global(
+            "set_render_bitdepth",
+            lambda b: scalars.__setitem__("bd", int(b)),
+        )
+        lua.set_global(
+            "set_output_file",
+            lambda f: scalars.__setitem__("output_file", str(f)),
+        )
+        seed("load_sample", new_samples,
+             lambda a: (str(a[0]), str(a[1]), str(a[2])))
+        seed("load_resource", new_resources, lambda a: (str(a[0]), str(a[1])))
+        seed("load_midi_floww", midis, lambda a: (str(a[0]), str(a[1])))
+        lua.set_global("declare_stream", lambda name: streams.append(str(name)))
+        seed("load_lv2", new_lv2plugins, lambda a: (str(a[0]), str(a[1])))
+        seed("parameter", new_lv2params,
+             lambda a: (str(a[0]), str(a[1]), float(a[2])))
+        seed("add_sum", sums, lambda a: (str(a[0]), float(a[1]), float(a[2])))
+        seed("add_normalize", norms,
+             lambda a: (str(a[0]), float(a[1]), float(a[2])))
+        seed("add_sampleloop", sampleloops,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3])))
+        seed("add_sample_multi", samplemultis,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3]),
+                        str(a[4]), int(a[5])))
+        seed("add_sample_lerp", samplelerps,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3]),
+                        str(a[4]), int(a[5]), int(a[6])))
+        seed("add_debug_sine", debugsines,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3])))
+        seed("add_synth", synths,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3]),
+                        float(a[4]), float(a[5]), _floats(a[6]),
+                        float(a[7]), float(a[8]), _floats(a[9]),
+                        float(a[10]), _floats(a[11])))
+        seed("add_sampsyn", sampsyns,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), str(a[3]),
+                        _floats(a[4]), str(a[5])))
+        seed("add_lv2fx", lv2fxs,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), float(a[3]),
+                        str(a[4])))
+        seed("add_adsr", adsrs,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), float(a[3]),
+                        str(a[4]), bool(a[5]), bool(a[6]), int(a[7]),
+                        _floats(a[8])))
+        seed("add_bandpass", bandpasses,
+             lambda a: (str(a[0]), float(a[1]), float(a[2]), float(a[3]),
+                        float(a[4]), float(a[5]), bool(a[6])))
+        seed("connect", edges, lambda a: (str(a[0]), str(a[1])))
+        lua.set_global(
+            "set_output",
+            lambda out: scalars.__setitem__("output_vertex", str(out)),
+        )
+
+        try:
+            lua.execute(self.contents)
+        except LuaError as e:
+            print(f"{RED}Could not execute lua code!{DEFAULT}\n\t{e}")
+            raise RefreshAbort from None
+
+        self.cs = scalars["cs"]
+        self.bd = scalars["bd"]
+        self.render_sr = scalars["render_sr"]
+        self.output_file = scalars["output_file"]
+        self.output_vertex = scalars["output_vertex"]
+
+        def diff(old: list, new: list) -> tuple[list, list]:
+            adds = [t for t in new if t not in old]
+            removes = [t for t in old if t not in new]
+            return adds, removes
+
+        # ---- samples (state.rs:202-219) ----------------------------------
+        pos, neg = diff(self.cur_samples, new_samples)
+        for name, _, _ in neg:
+            print(
+                f'{DEFAULT}Info: sample {BLUE}"{name}"{DEFAULT} will be '
+                f"removed from the sample bank.{DEFAULT}"
+            )
+            self.sb.mark_dead(name)
+        print(f"{DEFAULT}Status: refreshing sample bank.{DEFAULT}")
+        self.sb.refresh()
+        excluded = []
+        for name, file, method in pos:
+            print(
+                f'{DEFAULT}Status: adding sample {BLUE}"{name}"{DEFAULT} to '
+                f"the sample bank.{DEFAULT}"
+            )
+            try:
+                self.sb.add(name, file, SampleLoadMethod.from_str(method))
+            except ValueError as e:
+                print(f"{RED}{e}{DEFAULT}")
+                excluded.append(name)
+        # do_excluding semantics (state.rs:188-199): prune failures into the
+        # committed list, then abort the refresh
+        self.cur_samples = [s for s in new_samples if s[0] not in excluded]
+        if excluded:
+            raise RefreshAbort
+
+        # ---- resources (state.rs:222-237) ---------------------------------
+        pos, neg = diff(self.cur_resources, new_resources)
+        for name, _ in neg:
+            print(
+                f'{DEFAULT}Info: resource {BLUE}"{name}"{DEFAULT} will be '
+                f"removed.{DEFAULT}"
+            )
+            self.bb.mark_dead(name)
+        print(f"{DEFAULT}Status: refreshing resources.{DEFAULT}")
+        self.bb.refresh()
+        excluded = []
+        for name, file in pos:
+            try:
+                self.bb.add(name, file)
+            except ValueError as e:
+                print(f"{RED}{e}{DEFAULT}")
+                excluded.append(name)
+        self.cur_resources = [r for r in new_resources if r[0] not in excluded]
+        if excluded:
+            raise RefreshAbort
+
+        # ---- midi + streams: always fully reloaded (state.rs:240-250) -----
+        self.fb.reset()
+        for name, file in midis:
+            try:
+                self.fb.add_floww(name, file)
+            except ValueError as e:
+                print(f"{RED}{e}{DEFAULT}")
+                raise RefreshAbort from None
+        for name in streams:
+            print(name)
+            self.fb.declare_stream(name)
+
+        # ---- plugins (state.rs:254-323) ------------------------------------
+        pos, neg = diff(self.cur_lv2plugins, new_lv2plugins)
+        for name, _ in neg:
+            self.host.remove_plugin(name)
+        excluded = []
+        for name, uri in pos:
+            try:
+                self.host.add_plugin(uri, name)
+                print(
+                    f"{DEFAULT}Info: added plugin {BLUE}{name}{DEFAULT} with "
+                    f"uri {BLUE}{uri}{DEFAULT}.{DEFAULT}"
+                )
+            except AddPluginError as e:
+                print(
+                    f'{RED}Couldn\'t load plugin with name: {BLUE}"{name}"'
+                    f'{RED} and uri: {BLUE}"{uri}"{RED}.{DEFAULT}\n\t{e}'
+                )
+                excluded.append(name)
+        self.cur_lv2plugins = [
+            p for p in new_lv2plugins if p[0] not in excluded
+        ]
+        if excluded:
+            raise RefreshAbort
+        pos, neg = diff(self.cur_lv2params, new_lv2params)
+        for plugin, name, _ in neg:
+            self.host.reset_value(plugin, name)
+        for plugin, name, value in pos:
+            self.host.set_value(plugin, name, value)
+        self.cur_lv2params = new_lv2params
+
+        # ---- graph rebuild (state.rs:327-459) -------------------------------
+        print(f"{DEFAULT}Status: rebuilding graph.{DEFAULT}")
+        self.g.reset()
+
+        def get_index(bank, arg, name, category):
+            idx = bank.get_index(arg)
+            if idx is None:
+                print(
+                    f"{RED}Could not get {category} index for vertex "
+                    f'{BLUE}"{name}"{DEFAULT}.'
+                )
+                raise RefreshAbort
+            return idx
+
+        def adsr_conf(arr, name):
+            conf = build_adsr_conf(arr)
+            if conf is None:
+                print(
+                    f"{RED}ADSR config must have 0, 6 or 9 elements (vertex "
+                    f'{BLUE}"{name}"{RED}).{DEFAULT}'
+                )
+                raise RefreshAbort
+            return conf
+
+        for name, gain, angle in sums:
+            self.g.add(VertexDecl(name, G.SUM, gain, angle))
+        for name, gain, angle in norms:
+            self.g.add(VertexDecl(name, G.NORMALIZE, gain, angle))
+        for name, gain, angle, sample in sampleloops:
+            si = get_index(self.sb, sample, name, "sample")
+            self.g.add(VertexDecl(
+                name, G.SAMPLELOOP, gain, angle, params={"sample_index": si}
+            ))
+        for name, gain, angle, sample, floww, note in samplemultis:
+            si = get_index(self.sb, sample, name, "sample")
+            fi = get_index(self.fb, floww, name, "floww")
+            self.g.add(VertexDecl(
+                name, G.SAMPLEMULTI, gain, angle,
+                params={
+                    "sample_index": si, "floww_index": fi,
+                    "note": None if note < 0 else note,
+                },
+            ))
+        for name, gain, angle, sample, floww, note, lerp_len in samplelerps:
+            si = get_index(self.sb, sample, name, "sample")
+            fi = get_index(self.fb, floww, name, "floww")
+            self.g.add(VertexDecl(
+                name, G.SAMPLELERP, gain, angle,
+                params={
+                    "sample_index": si, "floww_index": fi,
+                    "note": None if note < 0 else note,
+                    "lerp_len": max(lerp_len, 0),
+                },
+            ))
+        for name, gain, angle, floww in debugsines:
+            fi = get_index(self.fb, floww, name, "floww")
+            self.g.add(VertexDecl(
+                name, G.DEBUGSINE, gain, angle, params={"floww_index": fi}
+            ))
+        for (name, gain, angle, floww, sq_vol, sq_z, sq_arr,
+             tf_vol, tf_z, tf_arr, tr_vol, tr_arr) in synths:
+            fi = get_index(self.fb, floww, name, "floww")
+            self.g.add(VertexDecl(
+                name, G.SYNTH, gain, angle,
+                params={
+                    "floww_index": fi,
+                    "sq_vol": sq_vol, "sq_z": max(sq_z, 0.0001),
+                    "sq_conf": adsr_conf(sq_arr, name),
+                    "tf_vol": tf_vol, "tf_z": tf_z,
+                    "tf_conf": adsr_conf(tf_arr, name),
+                    "tr_vol": tr_vol, "tr_conf": adsr_conf(tr_arr, name),
+                },
+            ))
+        wavetables: dict[int, WaveTable] = {}
+        for name, gain, angle, floww, conf_arr, resource in sampsyns:
+            fi = get_index(self.fb, floww, name, "floww")
+            conf = adsr_conf(conf_arr, name)
+            bi = self.bb.get_index(resource)
+            if bi is None:
+                print(
+                    f'{RED}Could not find resource named {BLUE}"{resource}"'
+                    f"{RED}!{DEFAULT}"
+                )
+                raise RefreshAbort
+            table = parse_wavetable_from_buffer(self.bb.get_buffer(bi))
+            if table is None:
+                print(
+                    f"{DEFAULT}Could not parse wavetable from resource "
+                    f'{BLUE}"{resource}"{DEFAULT}, using default table!'
+                )
+                table = WaveTable.default()
+            decl = VertexDecl(
+                name, G.SAMPSYN, gain, angle,
+                params={"floww_index": fi, "conf": conf},
+            )
+            self.g.add(decl)
+            wavetables[len(self.g.vertices) - 1] = table
+        for name, gain, angle, wet, plugin in lv2fxs:
+            pi = get_index(self.host, plugin, name, "plugin")
+            self.g.add(VertexDecl(
+                name, G.PLUGINFX, gain, angle, wet,
+                params={"plugin_index": pi},
+            ))
+        for (name, gain, angle, wet, floww, use_off, use_max, note,
+             conf_arr) in adsrs:
+            fi = get_index(self.fb, floww, name, "floww")
+            self.g.add(VertexDecl(
+                name, G.ADSR, gain, angle, wet,
+                params={
+                    "floww_index": fi, "use_off": use_off, "use_max": use_max,
+                    "note": None if note < 0 else note,
+                    "conf": adsr_conf(conf_arr, name),
+                },
+            ))
+        for name, gain, angle, wet, cut_low, cut_high, pass_mode in bandpasses:
+            self.g.add(VertexDecl(
+                name, G.BANDPASS, gain, angle, wet,
+                params={
+                    "cut_low": cut_low, "cut_high": cut_high,
+                    "pass_mode": pass_mode,
+                },
+            ))
+
+        for a, b in edges:
+            self.g.connect(a, b)
+        self.g.set_output(self.output_vertex)
+        if not self.g.check_graph():
+            print(f"{RED}TermDaw: graph check failed!{DEFAULT}")
+            raise RefreshAbort
+
+        # ---- compile (the TPU-native step) ---------------------------------
+        self.compiled = CompiledGraph(
+            self.g, self.sb, wavetables, self.host,
+            self.config.settings.buffer_length, psr,
+        )
+        self.compiled.reset_normalize_vertices()
+        print(f"{GREEN}Ok: refreshed.{DEFAULT}")
+        self.loaded = True
+
+    # ------------------------------------------------------------------ scan
+    def scan_exact(self) -> None:
+        """2-pass normalization scan (reference graph.rs:222-237)."""
+        cg = self.compiled
+        if cg is None or cg.output is None:
+            return
+        cg.reset_scan_normalize_vertices()
+        cg.set_time(0)
+        self.fb.set_time(0)
+        left = self.cs
+        while left > 0:
+            nb = min(left, RENDER_WINDOW_BLOCKS)
+            cg.render_window(self.fb, nb, is_scan=True)
+            self.fb.advance_blocks(nb)
+            left -= nb
+        cg.apply_scan_normalize_vertices()
+        cg.set_time(0)
+        self.fb.set_time(0)
+
+    # ------------------------------------------------------------------ render
+    def render(self) -> None:
+        print(f"{DEFAULT}Status: started rendering{DEFAULT}")
+        psr = self.config.settings.project_samplerate
+        msr, mbd = self.sb.get_max_sr_bd()
+        if psr > self.render_sr:
+            print(
+                f"{YELLOW}TermDaw: warning: render will down sample from "
+                f"{BLUE}{psr}{YELLOW}(project s.r.) to "
+                f"{BLUE}{self.render_sr}{YELLOW}.{DEFAULT}"
+            )
+        if msr > self.render_sr:
+            print(
+                f"{YELLOW}TermDaw: warning: render will down sample from "
+                f"peak input quality({BLUE}{msr}{YELLOW}) to "
+                f"{BLUE}{self.render_sr}{YELLOW}.{DEFAULT}"
+            )
+        if self.bd not in (8, 16, 24, 32):
+            print(
+                f"{RED}Bitdepth of {BLUE}{self.bd}{RED} not supported: "
+                f"choose bitdepth in {{8, 16, 24, 32}}.{DEFAULT}"
+            )
+            return
+        if mbd > self.bd:
+            print(
+                f"{YELLOW}TermDaw: warning: render will lose bitdepth from "
+                f"peak input quality({BLUE}{mbd}{YELLOW} bits) to "
+                f"{BLUE}{self.bd}{YELLOW} bits{DEFAULT}"
+            )
+        cg = self.compiled
+        assert cg is not None
+        # deviation (documented): align event cursor with graph time so
+        # repeated renders behave identically
+        self.fb.set_time(cg.get_time())
+
+        windows = []
+        left = self.cs
+        while left > 0:
+            nb = min(left, RENDER_WINDOW_BLOCKS)
+            windows.append(cg.render_window(self.fb, nb))
+            self.fb.advance_blocks(nb)
+            left -= nb
+
+        import jax.numpy as jnp
+
+        amplitude = amplitude_for(self.bd)
+        writer = WavWriter(self.output_file, 2, self.render_sr, self.bd)
+        if windows:
+            audio = jnp.concatenate(windows, axis=0)
+            if psr > self.render_sr:
+                audio = resample_device(audio, psr, self.render_sr)
+            ints = np.asarray(quantize_interleave(audio, self.bd))
+            writer.write_ints(ints)
+        writer.close()
+        cg.set_time(0)
+        print(f"{GREEN}Ok: done rendering.{DEFAULT}")

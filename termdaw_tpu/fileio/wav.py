@@ -212,6 +212,23 @@ class WavWriter:
         self._f.write(raw)
         self._data_bytes += len(raw)
 
+    def write_ints(self, ints: np.ndarray) -> None:
+        """Write already-quantized interleaved integer samples (int32 values
+        within the target bit range — e.g. the output of the device-side
+        quantize kernel, ops/quantize.py)."""
+        flat = np.asarray(ints).reshape(-1).astype(np.int64)
+        bits = self.bits
+        if bits == 8:
+            raw = (flat + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            raw = flat.astype("<i2").tobytes()
+        elif bits == 24:
+            raw = _pack24(flat.astype(np.int32))
+        else:
+            raw = flat.astype("<i4").tobytes()
+        self._f.write(raw)
+        self._data_bytes += len(raw)
+
     def close(self) -> None:
         if self._f.closed:
             return

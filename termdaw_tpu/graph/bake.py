@@ -1,0 +1,455 @@
+"""Event baking: floww events + carried voice state -> dense device tables.
+
+The reference's event-driven vertices mutate per-frame Rust state (voice
+queues, note lists, envelope clocks — extensions.rs:21-69). Those semantics
+are path-independent given the event schedule, so the host *replays* them
+here (cheap: proportional to event count) and emits shape-static numpy
+tables the compiled XLA program consumes:
+
+* polyphonic vertices (SampleMulti, DebugSine, Synth, SampSyn) become
+  per-block instance tables [nb, P] (P = padded max concurrent voices);
+* monophonic-pair vertices (SampleLerp, Adsr) become per-event segment
+  tables indexed per frame by `searchsorted`.
+
+Each bake takes the vertex's carried state (voices alive at the window
+start) and returns the new carry at the window end, so windowed playback
+chains exactly like the reference's continuous per-block run. Replay rules
+cite the reference loops they model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..banks.flowwbank import DrumBake, SimpleBake
+from ..ops.adsr import AdsrConf, np_apply_ads
+
+SENTINEL = -(2**30)
+INF_FRAME = 2**31 - 1  # fits int32 (JAX x64 is off); frames stay far below
+
+
+def _pad_pow2(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def block_table(
+    starts: np.ndarray, ends: np.ndarray, t0: int, nb: int, bl: int
+) -> np.ndarray:
+    """Map instances with [start, end) frame spans to a per-block index
+    table [nb, P] (int32, -1 = empty). P is padded to a power of two so jit
+    cache keys stay stable across bakes."""
+    per_block: list[list[int]] = [[] for _ in range(nb)]
+    t1 = t0 + nb * bl
+    for i in range(len(starts)):
+        s, e = int(starts[i]), int(ends[i])
+        if e <= t0 or s >= t1:
+            continue
+        k0 = max(0, (s - t0) // bl)
+        k1 = min(nb, -(-(min(e, t1) - t0) // bl))
+        for k in range(k0, k1):
+            per_block[k].append(i)
+    pmax = max((len(b) for b in per_block), default=0)
+    p = _pad_pow2(max(pmax, 1))
+    idx = np.full((nb, p), -1, np.int32)
+    for k, items in enumerate(per_block):
+        idx[k, : len(items)] = items
+    return idx
+
+
+def _pad_cols(cols: dict[str, np.ndarray], pad_to: int) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in cols.items():
+        n = len(v)
+        padded = np.zeros(pad_to, v.dtype)
+        padded[:n] = v
+        out[k] = padded
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SampleMulti (reference extensions.rs:343-381)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MultiCarry:
+    """Voices alive at window start: (start_frame_abs, vel), trigger order."""
+
+    voices: list[tuple[int, float]] = field(default_factory=list)
+
+
+def bake_sample_multi(
+    drum: DrumBake, carry: MultiCarry, t0: int, nb: int, bl: int, sample_len: int
+) -> tuple[dict[str, np.ndarray], MultiCarry]:
+    starts = [v[0] for v in carry.voices] + drum.frames.tolist()
+    vels = [v[1] for v in carry.voices] + drum.vels.tolist()
+    starts_a = np.asarray(starts, np.int64)
+    ends_a = starts_a + sample_len
+    idx = block_table(starts_a, ends_a, t0, nb, bl)
+    n_pad = _pad_pow2(max(len(starts), 1))
+    cols = _pad_cols(
+        {
+            "starts": starts_a.astype(np.int32),
+            "vels": np.asarray(vels, np.float32),
+        },
+        n_pad,
+    )
+    t1 = t0 + nb * bl
+    new_carry = MultiCarry(
+        [(int(s), float(v)) for s, v in zip(starts, vels) if s + sample_len > t1]
+    )
+    return {"idx": idx, **cols}, new_carry
+
+
+# ---------------------------------------------------------------------------
+# SampleLerp (reference extensions.rs:383-421)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LerpCarry:
+    """Monophonic primary/ghost voice + crossfade countdown at window start.
+
+    Initial values mirror the reference's construction (extensions.rs:117-120):
+    primary = ghost = (start 0 absolute, vel 0), countdown 0."""
+
+    primary_start: int = 0
+    primary_vel: float = 0.0
+    ghost_start: int = 0
+    ghost_vel: float = 0.0
+    countdown: int = 0
+
+
+def bake_sample_lerp(
+    drum: DrumBake, carry: LerpCarry, t0: int, nb: int, bl: int, lerp_len: int
+) -> tuple[dict[str, np.ndarray], LerpCarry]:
+    ef = drum.frames.tolist()
+    ev = drum.vels.tolist()
+    # segment j covers [p_starts... searchsorted boundary = trigger frames
+    bounds = np.asarray(ef, np.int64)  # [E]
+    p_starts = np.asarray([carry.primary_start] + ef, np.int64)
+    p_vels = np.asarray([carry.primary_vel] + ev, np.float32)
+    g_starts = np.concatenate(
+        [np.asarray([carry.ghost_start], np.int64), p_starts[:-1]]
+    )
+    g_vels = np.concatenate(
+        [np.asarray([carry.ghost_vel], np.float32), p_vels[:-1]]
+    )
+    # countdown anchors: segment 0 decrements from carry.countdown at t0;
+    # each trigger resets countdown to lerp_len at its frame
+    cd_anchor = np.asarray([t0] + ef, np.int64)
+    cd_init = np.asarray([carry.countdown] + [lerp_len] * len(ef), np.int32)
+
+    e_pad = _pad_pow2(len(ef) + 1)
+    cols = _pad_cols(
+        {
+            "p_starts": p_starts.astype(np.int32),
+            "p_vels": p_vels,
+            "g_starts": g_starts.astype(np.int32),
+            "g_vels": g_vels,
+            "cd_anchor": cd_anchor.astype(np.int32),
+            "cd_init": cd_init,
+        },
+        e_pad,
+    )
+    bounds_pad = np.full(max(_pad_pow2(max(len(bounds), 1)), 1), INF_FRAME,
+                         np.int64)
+    bounds_pad[: len(bounds)] = bounds
+    t1 = t0 + nb * bl
+    if ef:
+        last, prev = len(ef), len(ef) - 1
+        new_carry = LerpCarry(
+            primary_start=int(p_starts[last]), primary_vel=float(p_vels[last]),
+            ghost_start=int(p_starts[prev]), ghost_vel=float(p_vels[prev]),
+            countdown=max(0, lerp_len - (t1 - ef[-1])),
+        )
+    else:
+        new_carry = LerpCarry(
+            carry.primary_start, carry.primary_vel,
+            carry.ghost_start, carry.ghost_vel,
+            max(0, carry.countdown - nb * bl),
+        )
+    return {
+        "bounds": bounds_pad.astype(np.int32),
+        "n_bounds": np.int32(len(bounds)),
+        **cols,
+    }, new_carry
+
+
+# ---------------------------------------------------------------------------
+# DebugSine (reference extensions.rs:423-457)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SineCarry:
+    """Open notes at window start: (note, vel, span_start_abs)."""
+
+    notes: list[tuple[float, float, int]] = field(default_factory=list)
+
+
+def bake_debug_sine(
+    simple: SimpleBake, carry: SineCarry, t0: int, nb: int, bl: int
+) -> tuple[dict[str, np.ndarray], SineCarry]:
+    # replay: ON updates the velocity of a matching note (|dn| < 0.001) or
+    # appends; OFF removes all matching notes (extensions.rs:428-444).
+    # A velocity update closes the span and opens a new one (the sine phase
+    # is global-time so this is exact).
+    spans: list[tuple[float, float, int, int]] = []  # (note, vel, s, e)
+    open_notes: list[tuple[float, float, int]] = list(carry.notes)
+    for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
+                                simple.vels):
+        f = int(f)
+        if on:
+            matched = False
+            for j, (n, v, s) in enumerate(open_notes):
+                if abs(n - note) < 0.001:
+                    spans.append((n, v, s, f))
+                    open_notes[j] = (n, float(vel), f)
+                    matched = True
+                    break
+            if not matched:
+                open_notes.append((float(note), float(vel), f))
+        else:
+            kept = []
+            for n, v, s in open_notes:
+                if abs(n - note) > 0.001:
+                    kept.append((n, v, s))
+                else:
+                    spans.append((n, v, s, f))
+            open_notes = kept
+    t1 = t0 + nb * bl
+    for n, v, s in open_notes:
+        spans.append((n, v, s, INF_FRAME))
+
+    starts = np.asarray([s for *_xx, s, _e in spans], np.int64) \
+        if spans else np.zeros(0, np.int64)
+    ends = np.asarray([e for *_xx, e in spans], np.int64) \
+        if spans else np.zeros(0, np.int64)
+    idx = block_table(starts, np.minimum(ends, INF_FRAME), t0, nb, bl)
+    n_pad = _pad_pow2(max(len(spans), 1))
+    cols = _pad_cols(
+        {
+            "notes": np.asarray([sp[0] for sp in spans], np.float32),
+            "vels": np.asarray([sp[1] for sp in spans], np.float32),
+            "starts": starts.astype(np.int32),
+            "ends": np.minimum(ends, INF_FRAME).astype(np.int32),
+        },
+        n_pad,
+    )
+    return {"idx": idx, **cols}, SineCarry(open_notes)
+
+
+# ---------------------------------------------------------------------------
+# Synth / SampSyn note lifecycle (reference extensions.rs:459-578)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NoteInst:
+    note: float
+    vel: float
+    on_f: int
+    off_f: int | None = None   # None = held
+    dead_f: int = INF_FRAME    # frame after which it no longer contributes
+
+
+@dataclass
+class NotesCarry:
+    notes: list[NoteInst] = field(default_factory=list)
+
+
+def _natural_dead_frame(off_f: int, t0: int, bl: int, release_sec: float,
+                        sr: int) -> int:
+    """Block-end retention (extensions.rs:528): the note is removed at the
+    end of the first block whose end-time exceeds off + release_sec; it
+    contributes through that whole block."""
+    # block ends are t0 + k*bl; find smallest end E > off_f with
+    # (E - off_f)/sr > release_sec
+    lim = off_f + release_sec * sr
+    k = max(0, int(np.floor((lim - t0) / bl)) + 1)
+    e = t0 + k * bl
+    while (e - off_f) / sr <= release_sec:  # guard float edge
+        e += bl
+    return e
+
+
+def bake_notes(
+    simple: SimpleBake, carry: NotesCarry, t0: int, nb: int, bl: int,
+    sr: int, release_sec: float,
+) -> tuple[dict[str, np.ndarray], NotesCarry]:
+    notes: list[NoteInst] = [
+        NoteInst(n.note, n.vel, n.on_f, n.off_f, n.dead_f) for n in carry.notes
+    ]
+    for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
+                                simple.vels):
+        f = int(f)
+        if on:
+            # always pushes, even with the pitch already active
+            # (extensions.rs:482-483)
+            notes.append(NoteInst(float(note), float(vel), f))
+        else:
+            # retain drops already-released same-pitch notes NOW
+            # (extensions.rs:485): they stop contributing from this frame.
+            # Instances stay in the list (their span rows are still needed);
+            # dead_f <= f marks them as removed from the live set.
+            for inst in notes:
+                if inst.dead_f <= f:
+                    continue
+                if abs(inst.note - note) <= 0.001 and inst.off_f is not None:
+                    inst.dead_f = f
+            # release the held same-pitch notes (extensions.rs:486-494)
+            for inst in notes:
+                if inst.dead_f <= f:
+                    continue
+                if abs(inst.note - note) <= 0.001 and inst.off_f is None:
+                    inst.off_f = f
+                    inst.dead_f = _natural_dead_frame(
+                        f, t0, bl, release_sec, sr
+                    )
+    # dead instances keep their tables rows; spans trim them per block
+    starts = np.asarray([n.on_f for n in notes], np.int64) \
+        if notes else np.zeros(0, np.int64)
+    ends = np.asarray([n.dead_f for n in notes], np.int64) \
+        if notes else np.zeros(0, np.int64)
+    idx = block_table(starts, ends, t0, nb, bl)
+    n_pad = _pad_pow2(max(len(notes), 1))
+    cols = _pad_cols(
+        {
+            "notes": np.asarray([n.note for n in notes], np.float32),
+            "vels": np.asarray([n.vel for n in notes], np.float32),
+            "on_f": np.asarray([n.on_f for n in notes], np.int32),
+            "off_f": np.asarray(
+                [n.off_f if n.off_f is not None else SENTINEL for n in notes],
+                np.int32,
+            ),
+        },
+        n_pad,
+    )
+    t1 = t0 + nb * bl
+    new_carry = NotesCarry([n for n in notes if n.dead_f > t1])
+    return {"idx": idx, **cols}, new_carry
+
+
+# ---------------------------------------------------------------------------
+# Adsr vertex (reference extensions.rs:592-651)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AdsrCarry:
+    """Primary/ghost envelope cells. Anchors are absolute frames (float);
+    the reference's seconds-clock p.0 at window start t0 maps to
+    anchor = t0 - p.0 * sr. Initial cells are (0, 0, 0) at refresh
+    (extensions.rs:168-169) => anchor 0, vel 0, rel 0."""
+
+    p_anchor: float = 0.0
+    p_vel: float = 0.0
+    p_rel: float = 0.0
+    g_anchor: float = 0.0
+    g_vel: float = 0.0
+    g_rel: float = 0.0
+
+
+def bake_adsr_drum(
+    drum: DrumBake, carry: AdsrCarry, t0: int, nb: int, bl: int
+) -> tuple[dict[str, np.ndarray], AdsrCarry]:
+    """Drum mode (use_off=false, extensions.rs:631-647): each hit shifts
+    primary->ghost and retriggers primary. rel fields stay 0."""
+    ef = drum.frames.tolist()
+    ev = drum.vels.tolist()
+    bounds = np.asarray(ef, np.int64)
+    p_anchor = np.asarray([carry.p_anchor] + ef, np.float32)
+    p_vel = np.asarray([carry.p_vel] + ev, np.float32)
+    g_anchor = np.concatenate(
+        [np.asarray([carry.g_anchor], np.float32), p_anchor[:-1]]
+    )
+    g_vel = np.concatenate([np.asarray([carry.g_vel], np.float32), p_vel[:-1]])
+    e_pad = _pad_pow2(len(ef) + 1)
+    cols = _pad_cols(
+        {
+            "p_anchor": p_anchor, "p_vel": p_vel,
+            "p_rel": np.zeros(len(ef) + 1, np.float32),
+            "g_anchor": g_anchor, "g_vel": g_vel,
+            "g_rel": np.zeros(len(ef) + 1, np.float32),
+        },
+        e_pad,
+    )
+    bounds_pad = np.full(_pad_pow2(max(len(bounds), 1)), INF_FRAME, np.int64)
+    bounds_pad[: len(bounds)] = bounds
+    if ef:
+        last = len(ef)
+        prev_anchor = float(p_anchor[last - 1])
+        prev_vel = float(p_vel[last - 1])
+        new_carry = AdsrCarry(
+            p_anchor=float(ef[-1]), p_vel=float(ev[-1]), p_rel=0.0,
+            g_anchor=prev_anchor, g_vel=prev_vel, g_rel=0.0,
+        )
+    else:
+        new_carry = AdsrCarry(
+            carry.p_anchor, carry.p_vel, carry.p_rel,
+            carry.g_anchor, carry.g_vel, carry.g_rel,
+        )
+    return {
+        "bounds": bounds_pad.astype(np.int32),
+        "n_bounds": np.int32(len(bounds)),
+        **cols,
+    }, new_carry
+
+
+def bake_adsr_off(
+    simple: SimpleBake, carry: AdsrCarry, conf: AdsrConf, sr: int,
+    t0: int, nb: int, bl: int, target_note: int | None,
+) -> tuple[dict[str, np.ndarray], AdsrCarry]:
+    """use_off mode (extensions.rs:603-629): a small event state machine —
+    ON shifts primary->ghost and retriggers; the first OFF after that puts
+    the *ghost* into release, the next puts the primary. The captured
+    release value is apply_ads(conf, 0) * vel — the reference resets the
+    clock before sampling (extensions.rs:613-617), so the capture lands at
+    t=0; replicated literally."""
+    p = [carry.p_anchor, carry.p_vel, carry.p_rel]
+    g = [carry.g_anchor, carry.g_vel, carry.g_rel]
+    bounds: list[int] = []
+    rows: list[tuple] = []
+
+    def snapshot():
+        rows.append((p[0], p[1], p[2], g[0], g[1], g[2]))
+
+    snapshot()  # segment 0 = carry state
+    for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
+                                simple.vels):
+        if target_note is not None and abs(target_note - note) > 0.01:
+            continue
+        f = int(f)
+        if on:
+            g[0], g[1], g[2] = p
+            p[0], p[1], p[2] = float(f), float(vel), 0.0
+        elif g[2] == 0.0:
+            g[0] = float(f)
+            g[2] = float(np_apply_ads(conf, np.float32(0.0))) * g[1]
+        else:
+            p[0] = float(f)
+            p[2] = float(np_apply_ads(conf, np.float32(0.0))) * p[1]
+        bounds.append(f)
+        snapshot()
+
+    rows_a = np.asarray(rows, np.float32)
+    e_pad = _pad_pow2(len(rows))
+    cols = _pad_cols(
+        {
+            "p_anchor": rows_a[:, 0], "p_vel": rows_a[:, 1],
+            "p_rel": rows_a[:, 2],
+            "g_anchor": rows_a[:, 3], "g_vel": rows_a[:, 4],
+            "g_rel": rows_a[:, 5],
+        },
+        e_pad,
+    )
+    bounds_a = np.asarray(bounds, np.int64)
+    bounds_pad = np.full(_pad_pow2(max(len(bounds), 1)), INF_FRAME, np.int64)
+    bounds_pad[: len(bounds)] = bounds_a
+    new_carry = AdsrCarry(p[0], p[1], p[2], g[0], g[1], g[2])
+    return {
+        "bounds": bounds_pad.astype(np.int32),
+        "n_bounds": np.int32(len(bounds)),
+        **cols,
+    }, new_carry

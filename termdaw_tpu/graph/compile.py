@@ -1,0 +1,433 @@
+"""Graph compiler: DAG declarations -> one jitted XLA window program.
+
+This replaces the reference's per-block recursive interpreter
+(graph.rs:98-121 + the per-frame kernels of extensions.rs): after each
+refresh the reachable subgraph is topo-sorted (post-order DFS identical to
+the reference's run_vertex recursion, so input-summation order matches) and
+traced into a single jitted function
+
+    fn(num_state, params, bakes, samples, wavetables, fx_params, t0)
+        -> (num_state', audio [nb*bl, 2])
+
+per (window size nb, is_scan) pair. Everything data-like is traced —
+gain/angle/wet vectors, effect parameters, event tables, the window start
+t0 — so tweaking values or re-baking events never recompiles; only
+topology / static dims (sample lengths, padded table sizes) key the cache.
+
+Numeric state that must flow between windows lives in `num_state` (a pytree
+on device): Normalize running maxima, BandPass IIR states, effect delay
+tails. Event/voice bookkeeping stays host-side as bake carries
+(graph/bake.py); `set_time` remaps their absolute frames so voice clocks
+behave exactly like the reference's set_time partial reset
+(extensions.rs:196-204 — Synth/DebugSine notes cleared, BandPass re-primed,
+SampleMulti/SampleLerp/Adsr/SampSyn state carried).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graph as G
+from . import bake as B
+from ..banks.flowwbank import FlowwBank
+from ..ops import mix, sampler, synthv, envelope, filters
+from ..ops.adsr import AdsrConf
+from ..ops.filters import BandPassState
+
+
+@dataclass
+class _VertexStatic:
+    """Per-vertex compile-time configuration resolved at build."""
+
+    kind: str
+    sample_pos: int | None = None      # position in the samples tuple
+    sample_len: int = 0
+    floww_index: int | None = None
+    note: int | None = None
+    lerp_len: int = 0
+    confs: tuple = ()                  # AdsrConf tuple(s)
+    osc_static: tuple = ()             # synth osc (vol, z) pairs
+    use_off: bool = False
+    use_max: bool = False
+    pass_mode: bool = False
+    lgamma: float = 0.0
+    hgamma: float = 0.0
+    wt_pos: int | None = None          # position in the wavetables tuple
+    release_sec: float = 0.0           # synth-family note retention
+    fx_effect: Any = None              # EffectDef
+    fx_plugin_index: int = 0
+
+
+class CompiledGraph:
+    def __init__(
+        self,
+        graph: G.Graph,
+        sample_bank,
+        wavetables: dict[int, Any],  # vertex index -> WaveTable
+        plugin_host,
+        bl: int,
+        sr: int,
+    ) -> None:
+        self.graph = graph
+        self.bl = bl
+        self.sr = sr
+        self.plugin_host = plugin_host
+        self.order = graph.topo_order()
+        self.in_edges = [list(e) for e in graph.in_edges]
+        self.output = graph.output_vertex
+        self.t = graph.t
+
+        # device-resident constants
+        self.samples: list[jnp.ndarray] = []
+        sample_pos: dict[int, int] = {}
+        self.wavetables: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+
+        self.statics: dict[int, _VertexStatic] = {}
+        for vi in self.order:
+            v = graph.vertices[vi]
+            st = _VertexStatic(kind=v.kind)
+            p = v.params
+            if v.kind in (G.SAMPLELOOP, G.SAMPLEMULTI, G.SAMPLELERP):
+                si = p["sample_index"]
+                if si not in sample_pos:
+                    sample_pos[si] = len(self.samples)
+                    arr = sample_bank.get_sample(si).as_array()
+                    self.samples.append(jnp.asarray(arr))
+                st.sample_pos = sample_pos[si]
+                st.sample_len = len(sample_bank.get_sample(si))
+            if v.kind in (
+                G.SAMPLEMULTI, G.SAMPLELERP, G.DEBUGSINE, G.SYNTH,
+                G.SAMPSYN, G.ADSR,
+            ):
+                st.floww_index = p["floww_index"]
+                st.note = p.get("note")
+            if v.kind == G.SAMPLELERP:
+                st.lerp_len = p["lerp_len"]
+            if v.kind == G.SYNTH:
+                st.osc_static = (
+                    (p["sq_vol"], p["sq_z"]),
+                    (p["tf_vol"], p["tf_z"]),
+                    (p["tr_vol"], 0.0),
+                )
+                st.confs = (p["sq_conf"], p["tf_conf"], p["tr_conf"])
+                # effective release (extensions.rs:469-477): max release_sec
+                # over oscillators with volume > 0
+                rel = 0.0
+                if p["sq_vol"] > 0.0:
+                    rel = p["sq_conf"].release_sec
+                if p["tf_vol"] > 0.0:
+                    rel = max(rel, p["tf_conf"].release_sec)
+                if p["tr_vol"] > 0.0:
+                    rel = max(rel, p["tr_conf"].release_sec)
+                st.release_sec = rel
+            if v.kind == G.SAMPSYN:
+                st.confs = (p["conf"],)
+                st.release_sec = p["conf"].release_sec
+                wt = wavetables[vi]
+                st.wt_pos = len(self.wavetables)
+                self.wavetables.append(
+                    (jnp.asarray(wt.times), jnp.asarray(wt.waves))
+                )
+            if v.kind == G.ADSR:
+                st.confs = (p["conf"],)
+                st.use_off = p["use_off"]
+                st.use_max = p["use_max"]
+            if v.kind == G.BANDPASS:
+                st.pass_mode = p["pass_mode"]
+                st.lgamma = filters.gamma_from_cutoff(p["cut_low"], sr)
+                st.hgamma = filters.gamma_from_cutoff(p["cut_high"], sr)
+            if v.kind == G.PLUGINFX:
+                st.fx_plugin_index = p["plugin_index"]
+                st.fx_effect = plugin_host.get(p["plugin_index"]).effect
+            self.statics[vi] = st
+
+        # traced per-vertex scalar params, indexed by vertex id
+        self._gains = jnp.asarray(
+            [graph.vertices[i].gain for i in range(len(graph.vertices))],
+            jnp.float32,
+        )
+        self._angles = jnp.asarray(
+            [graph.vertices[i].angle for i in range(len(graph.vertices))],
+            jnp.float32,
+        )
+        self._wets = jnp.asarray(
+            [graph.vertices[i].wet for i in range(len(graph.vertices))],
+            jnp.float32,
+        )
+
+        # numeric device state + host bake carries
+        self.num_state: dict[str, Any] = {}
+        self.carries: dict[int, Any] = {}
+        for vi in self.order:
+            st = self.statics[vi]
+            if st.kind == G.NORMALIZE:
+                self.num_state[f"{vi}.max"] = jnp.float32(0.0)
+                self.num_state[f"{vi}.scan_max"] = jnp.float32(0.0)
+            elif st.kind == G.BANDPASS:
+                self.num_state[f"{vi}.bp"] = BandPassState.init()
+            elif st.kind == G.PLUGINFX:
+                self.num_state[f"{vi}.fx"] = st.fx_effect.init_state(sr)
+            elif st.kind == G.SAMPLEMULTI:
+                self.carries[vi] = B.MultiCarry()
+            elif st.kind == G.SAMPLELERP:
+                self.carries[vi] = B.LerpCarry()
+            elif st.kind == G.DEBUGSINE:
+                self.carries[vi] = B.SineCarry()
+            elif st.kind in (G.SYNTH, G.SAMPSYN):
+                self.carries[vi] = B.NotesCarry()
+            elif st.kind == G.ADSR:
+                self.carries[vi] = B.AdsrCarry()
+
+        self._jit_cache: dict[tuple[int, bool], Any] = {}
+
+    # -- normalization controls (reference graph.rs:195-220) ---------------
+    def reset_normalize_vertices(self) -> None:
+        for vi in self.order:
+            if self.statics[vi].kind == G.NORMALIZE:
+                self.num_state[f"{vi}.max"] = jnp.float32(1e-6)
+
+    def reset_scan_normalize_vertices(self) -> None:
+        for vi in self.order:
+            if self.statics[vi].kind == G.NORMALIZE:
+                self.num_state[f"{vi}.scan_max"] = jnp.float32(0.0)
+
+    def apply_scan_normalize_vertices(self) -> None:
+        for vi in self.order:
+            if self.statics[vi].kind == G.NORMALIZE:
+                self.num_state[f"{vi}.max"] = self.num_state[f"{vi}.scan_max"]
+
+    def get_normalization_values(self) -> list[tuple[str, float]]:
+        out = []
+        for vi in self.order:
+            if self.statics[vi].kind == G.NORMALIZE:
+                out.append(
+                    (self.graph.names[vi],
+                     float(self.num_state[f"{vi}.max"]))
+                )
+        return out
+
+    # -- time control -------------------------------------------------------
+    def set_time(self, t: int) -> None:
+        """Reference extensions.rs:196-204 partial reset: clear DebugSine and
+        Synth notes, re-prime BandPass; SampleMulti/SampleLerp/Adsr/SampSyn
+        voice clocks keep their elapsed time (absolute frames remapped)."""
+        dt = t - self.t
+        for vi, carry in list(self.carries.items()):
+            kind = self.statics[vi].kind
+            if kind == G.DEBUGSINE:
+                self.carries[vi] = B.SineCarry()
+            elif kind == G.SYNTH:
+                self.carries[vi] = B.NotesCarry()
+            elif kind == G.SAMPLEMULTI:
+                self.carries[vi] = B.MultiCarry(
+                    [(s + dt, v) for s, v in carry.voices]
+                )
+            elif kind == G.SAMPLELERP:
+                self.carries[vi] = replace(
+                    carry,
+                    primary_start=carry.primary_start + dt,
+                    ghost_start=carry.ghost_start + dt,
+                )
+            elif kind == G.SAMPSYN:
+                for n in carry.notes:
+                    n.on_f += dt
+                    if n.off_f is not None:
+                        n.off_f += dt
+                    if n.dead_f < B.INF_FRAME:
+                        n.dead_f += dt
+            elif kind == G.ADSR:
+                self.carries[vi] = replace(
+                    carry,
+                    p_anchor=carry.p_anchor + dt,
+                    g_anchor=carry.g_anchor + dt,
+                )
+        for vi in self.order:
+            if self.statics[vi].kind == G.BANDPASS:
+                self.num_state[f"{vi}.bp"] = BandPassState.init()
+        self.t = t
+        self.graph.t = t
+
+    def change_time(self, delta: int, plus: bool) -> int:
+        new_t = self.t + delta if plus else self.t - min(delta, self.t)
+        self.set_time(new_t)
+        return new_t
+
+    def get_time(self) -> int:
+        return self.t
+
+    # -- rendering ----------------------------------------------------------
+    def render_window(
+        self, fb: FlowwBank, nb: int, is_scan: bool = False
+    ) -> jnp.ndarray:
+        """Render `nb` blocks starting at the current graph time. The floww
+        bank cursor must already sit at the same frame (the engine aligns
+        them). Advances graph time and all carried state. Returns device
+        audio [nb*bl, 2]."""
+        t0 = self.t
+        bakes: dict[str, dict[str, jnp.ndarray]] = {}
+        new_carries: dict[int, Any] = {}
+        for vi, carry in self.carries.items():
+            st = self.statics[vi]
+            key = str(vi)
+            if st.kind == G.SAMPLEMULTI:
+                drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
+                tbl, nc = B.bake_sample_multi(
+                    drum, carry, t0, nb, self.bl, st.sample_len
+                )
+            elif st.kind == G.SAMPLELERP:
+                drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
+                tbl, nc = B.bake_sample_lerp(
+                    drum, carry, t0, nb, self.bl, st.lerp_len
+                )
+            elif st.kind == G.DEBUGSINE:
+                simple = fb.bake_simple(st.floww_index, nb)
+                tbl, nc = B.bake_debug_sine(simple, carry, t0, nb, self.bl)
+            elif st.kind in (G.SYNTH, G.SAMPSYN):
+                simple = fb.bake_simple(st.floww_index, nb)
+                tbl, nc = B.bake_notes(
+                    simple, carry, t0, nb, self.bl, self.sr, st.release_sec
+                )
+            elif st.kind == G.ADSR:
+                if st.use_off:
+                    simple = fb.bake_simple(st.floww_index, nb)
+                    tbl, nc = B.bake_adsr_off(
+                        simple, carry, st.confs[0], self.sr, t0, nb, self.bl,
+                        st.note,
+                    )
+                else:
+                    drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
+                    tbl, nc = B.bake_adsr_drum(drum, carry, t0, nb, self.bl)
+            else:  # pragma: no cover
+                continue
+            bakes[key] = {k: jnp.asarray(a) for k, a in tbl.items()}
+            new_carries[vi] = nc
+
+        fx_params = {
+            str(vi): {
+                k: jnp.float32(v)
+                for k, v in self.plugin_host.param_values(
+                    self.statics[vi].fx_plugin_index
+                ).items()
+            }
+            for vi in self.order
+            if self.statics[vi].kind == G.PLUGINFX
+        }
+
+        fn = self._get_fn(nb, is_scan)
+        new_state, audio = fn(
+            self.num_state,
+            (self._gains, self._angles, self._wets),
+            bakes,
+            tuple(self.samples),
+            tuple(self.wavetables),
+            fx_params,
+            jnp.int32(t0),
+        )
+        self.num_state = new_state
+        self.carries.update(new_carries)
+        self.t = t0 + nb * self.bl
+        self.graph.t = self.t
+        return audio
+
+    # -- program construction -------------------------------------------------
+    def _get_fn(self, nb: int, is_scan: bool):
+        key = (nb, is_scan)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                partial(self._program, nb=nb, is_scan=is_scan)
+            )
+        return self._jit_cache[key]
+
+    def _program(
+        self, num_state, params, bakes, samples, wts, fx_params, t0,
+        *, nb: int, is_scan: bool,
+    ):
+        gains, angles, wets = params
+        bl, sr = self.bl, self.sr
+        T = nb * bl
+        frames = t0 + jnp.arange(T, dtype=jnp.int32)
+        bufs: dict[int, jnp.ndarray] = {}
+        ns = dict(num_state)
+
+        for vi in self.order:
+            st = self.statics[vi]
+            kind = st.kind
+            ins = [bufs[j] for j in self.in_edges[vi]]
+            if G.HAS_INPUT[kind]:
+                x = mix.sum_inputs(ins) if ins else jnp.zeros((T, 2), jnp.float32)
+            else:
+                x = None
+            key = str(vi)
+
+            if kind == G.SUM:
+                out = x
+            elif kind == G.NORMALIZE:
+                xr = x.reshape(nb, bl, 2)
+                if is_scan:
+                    outr, scan_max = mix.normalize_scan(
+                        xr, ns[f"{vi}.max"], ns[f"{vi}.scan_max"]
+                    )
+                    ns[f"{vi}.scan_max"] = scan_max
+                else:
+                    outr, mx = mix.normalize_live(xr, ns[f"{vi}.max"])
+                    ns[f"{vi}.max"] = mx
+                out = outr.reshape(T, 2)
+            elif kind == G.SAMPLELOOP:
+                out = sampler.sample_loop(samples[st.sample_pos], frames)
+            elif kind == G.SAMPLEMULTI:
+                out = sampler.sample_multi(
+                    samples[st.sample_pos], bakes[key], frames, nb, bl
+                )
+            elif kind == G.SAMPLELERP:
+                out = sampler.sample_lerp(
+                    samples[st.sample_pos], bakes[key], frames, st.lerp_len
+                )
+            elif kind == G.DEBUGSINE:
+                out = synthv.debug_sine(bakes[key], frames, nb, bl, sr)
+            elif kind == G.SYNTH:
+                (sqv, sqz), (tfv, tfz), (trv, _) = st.osc_static
+                sqc, tfc, trc = st.confs
+                out = synthv.synth(
+                    bakes[key], frames, nb, bl, sr,
+                    sqv, sqz, sqc, tfv, tfz, tfc, trv, trc,
+                )
+            elif kind == G.SAMPSYN:
+                times, waves = wts[st.wt_pos]
+                out = synthv.sampsyn(
+                    bakes[key], frames, nb, bl, sr, st.confs[0], times, waves
+                )
+            elif kind == G.ADSR:
+                out = envelope.adsr_apply(
+                    x, bakes[key], frames, sr, st.confs[0],
+                    st.use_off, st.use_max, wets[vi],
+                )
+            elif kind == G.BANDPASS:
+                out, bp = filters.band_pass_timeline(
+                    x, ns[f"{vi}.bp"], st.lgamma, st.hgamma,
+                    st.pass_mode, wets[vi],
+                )
+                ns[f"{vi}.bp"] = bp
+            elif kind == G.PLUGINFX:
+                wet = wets[vi]
+                y, fx_state = st.fx_effect.process(
+                    x, ns[f"{vi}.fx"], fx_params[key], sr
+                )
+                skip = wet < 0.0001
+                out = jnp.where(skip, x, x + wet * (y - x))
+                ns[f"{vi}.fx"] = jax.tree.map(
+                    lambda old, new: jnp.where(skip, old, new),
+                    ns[f"{vi}.fx"], fx_state,
+                )
+            else:  # pragma: no cover
+                raise ValueError(f"unknown vertex kind {kind}")
+
+            out = mix.post(out, angles[vi], gains[vi])
+            bufs[vi] = out
+
+        return ns, bufs[self.output]

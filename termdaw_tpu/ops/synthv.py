@@ -1,0 +1,178 @@
+"""Synth-family window kernels: DebugSine, Synth (3-osc), SampSyn (wavetable).
+
+All consume note-instance tables baked by graph/bake.py. The per-note
+envelope clocks the reference accumulates frame-by-frame
+(extensions.rs:459-578) are evaluated analytically from on/off frames; the
+oscillator phase uses the reference's own formula time = global_frame / sr
+(extensions.rs:501-503), including its float32 precision behavior.
+
+SampSyn's wavetable phase instead uses uint32 fixed-point accumulation
+(phase = n * round(hz/sr * 2^32) with natural wrap), which stays exact for
+arbitrarily long notes — a first-party improvement over f32 phase (the
+reference's external sampsyn crate owns its own precision story).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import osc
+from .adsr import AdsrConf, apply_ads, apply_r_rt
+from ..graph.bake import SENTINEL
+
+
+def _block_gather(bake, nb, bl, frames):
+    idx = bake["idx"]  # [nb, P]
+    valid = idx >= 0
+    f = frames.reshape(nb, bl)
+    return idx, valid, f
+
+
+def debug_sine(
+    bake: dict[str, jnp.ndarray], frames: jnp.ndarray, nb: int, bl: int,
+    sr: int,
+) -> jnp.ndarray:
+    """Pure per-note sines, no envelope (extensions.rs:423-457)."""
+    idx, valid, f = _block_gather(bake, nb, bl, frames)
+    note = bake["notes"][idx]  # [nb, P]
+    vel = bake["vels"][idx]
+    s0 = bake["starts"][idx]
+    e0 = bake["ends"][idx]
+    active = (
+        valid[:, None, :]
+        & (f[:, :, None] >= s0[:, None, :])
+        & (f[:, :, None] < e0[:, None, :])
+    )  # [nb, bl, P]
+    time = f.astype(jnp.float32) / jnp.float32(sr)  # [nb, bl]
+    hz = osc.note_hz(note)  # [nb, P]
+    sig = jnp.sin(time[:, :, None] * hz[:, None, :] * osc.TWO_PI)
+    sig = sig * jnp.where(active, vel[:, None, :], 0.0)
+    mono = jnp.sum(sig, axis=2).reshape(-1)  # [T]
+    return jnp.stack([mono, mono], axis=1)
+
+
+def _note_envelope(conf: AdsrConf, f, on_f, off_f, sr: int):
+    """env(t) per reference extensions.rs:505-506: apply_ads while held,
+    apply_r_rt after note-off (release measured from the off moment).
+    `held` is per-frame: the off frame may be baked ahead of time, but the
+    release only starts once the timeline reaches it."""
+    held = jnp.logical_or(off_f == SENTINEL, f < off_f)
+    srf = jnp.float32(sr)
+    ads_t = (f - on_f).astype(jnp.float32) / srf
+    rel_el = (f - off_f).astype(jnp.float32) / srf
+    rel_t = (off_f - on_f).astype(jnp.float32) / srf
+    return jnp.where(
+        held, apply_ads(conf, ads_t), apply_r_rt(conf, rel_el, rel_t)
+    )
+
+
+def synth(
+    bake: dict[str, jnp.ndarray], frames: jnp.ndarray, nb: int, bl: int,
+    sr: int,
+    sq_vol: float, sq_z: float, sq_conf: AdsrConf,
+    tf_vol: float, tf_z: float, tf_conf: AdsrConf,
+    tr_vol: float, tr_conf: AdsrConf,
+) -> jnp.ndarray:
+    """3-oscillator synth (extensions.rs:459-529): square-sine + topflat-sine
+    + triangle, each with its own ADSR; output scaled by
+    1 / sum(vol * adsr.max_vel()) (extensions.rs:465-468). Oscillators with
+    volume <= 0 are compiled out (static params)."""
+    amp_mult = sq_vol * sq_conf.max_vel() + tf_vol * tf_conf.max_vel() \
+        + tr_vol * tr_conf.max_vel()
+    amp_mult = 1.0 / amp_mult if amp_mult != 0.0 else 0.0
+
+    idx, valid, f = _block_gather(bake, nb, bl, frames)
+    note = bake["notes"][idx]
+    vel = bake["vels"][idx]
+    on_f = bake["on_f"][idx]
+    off_f = bake["off_f"][idx]
+
+    fb = f[:, :, None]  # [nb, bl, 1]
+    time = f.astype(jnp.float32)[:, :, None] / jnp.float32(sr)
+    hz = osc.note_hz(note)[:, None, :]  # [nb, 1, P]
+    on_b = on_f[:, None, :]
+    off_b = off_f[:, None, :]
+    velb = vel[:, None, :]
+
+    s = jnp.zeros(fb.shape[:2] + (idx.shape[1],), jnp.float32)
+    if sq_vol > 0.0:
+        env = _note_envelope(sq_conf, fb, on_b, off_b, sr)
+        s = s + osc.square_sine(time, hz, sq_z) * velb * env * sq_vol
+    if tf_vol > 0.0:
+        env = _note_envelope(tf_conf, fb, on_b, off_b, sr)
+        s = s + osc.topflat_sine(time, hz, tf_z) * velb * env * tf_vol
+    if tr_vol > 0.0:
+        env = _note_envelope(tr_conf, fb, on_b, off_b, sr)
+        s = s + osc.triangle(time, hz) * velb * env * tr_vol
+    s = s * amp_mult
+    s = jnp.where(valid[:, None, :], s, 0.0)
+    mono = jnp.sum(s, axis=2).reshape(-1)
+    return jnp.stack([mono, mono], axis=1)
+
+
+def sampsyn(
+    bake: dict[str, jnp.ndarray], frames: jnp.ndarray, nb: int, bl: int,
+    sr: int, conf: AdsrConf,
+    table_times: jnp.ndarray,  # [K]
+    table_waves: jnp.ndarray,  # [K, W]
+) -> jnp.ndarray:
+    """Time-varying wavetable synth (reference SampSyn,
+    extensions.rs:531-578): same note lifecycle/ADSR as Synth, oscillator =
+    table lookup at fixed-point phase, snapshots blended by note age
+    (the reference passes env_time + rel_t = time since note-on as the
+    table clock, extensions.rs:569)."""
+    amp_mult = 1.0 / conf.max_vel() if conf.max_vel() != 0.0 else 0.0
+    K, W = table_waves.shape
+
+    idx, valid, f = _block_gather(bake, nb, bl, frames)
+    note = bake["notes"][idx]
+    vel = bake["vels"][idx]
+    on_f = bake["on_f"][idx]
+    off_f = bake["off_f"][idx]
+
+    fb = f[:, :, None]
+    on_b = on_f[:, None, :]
+    off_b = off_f[:, None, :]
+    env = _note_envelope(conf, fb, on_b, off_b, sr)
+
+    # table clock: seconds since note-on
+    tau = (fb - on_b).astype(jnp.float32) / jnp.float32(sr)  # [nb, bl, P]
+    if K > 1:
+        k = jnp.clip(
+            jnp.searchsorted(table_times, tau.reshape(-1), side="right") - 1,
+            0, K - 2,
+        )
+        t_k = table_times[k]
+        t_k1 = table_times[k + 1]
+        blend = jnp.clip((tau.reshape(-1) - t_k) / jnp.maximum(t_k1 - t_k, 1e-9),
+                         0.0, 1.0)
+    else:
+        k = jnp.zeros(tau.size, jnp.int32)
+        blend = jnp.zeros(tau.size, jnp.float32)
+
+    # fixed-point phase: n * round(hz/sr * 2^32) mod 2^32, exact wrap
+    hz = osc.note_hz(note)[:, None, :]  # [nb, 1, P]
+    n = (fb - on_b).astype(jnp.uint32)  # frames since on
+    cyc = hz / jnp.float32(sr)
+    c_fix = (cyc * jnp.float32(2.0**32)).astype(jnp.float32)
+    c_fix_u = c_fix.astype(jnp.uint32) | jnp.uint32(0)  # truncate
+    phase_fix = n * jnp.broadcast_to(c_fix_u, n.shape)  # uint32 wraps = mod 2^32
+    phase = phase_fix.astype(jnp.float32) * jnp.float32(W / 2.0**32)  # [0, W)
+    p0 = jnp.floor(phase).astype(jnp.int32)
+    frac = phase - p0.astype(jnp.float32)
+    p0 = jnp.clip(p0, 0, W - 1).reshape(-1)
+    p1 = jnp.mod(p0 + 1, W)
+    fracf = frac.reshape(-1)
+
+    w0 = table_waves[k, p0] * (1 - fracf) + table_waves[k, p1] * fracf
+    if K > 1:
+        w1 = table_waves[k + 1, p0] * (1 - fracf) + table_waves[k + 1, p1] * fracf
+        wave = w0 * (1 - blend) + w1 * blend
+    else:
+        wave = w0
+    wave = wave.reshape(tau.shape)  # [nb, bl, P]
+
+    s = wave * vel[:, None, :] * env * amp_mult
+    s = jnp.where(valid[:, None, :], s, 0.0)
+    mono = jnp.sum(s, axis=2).reshape(-1)
+    return jnp.stack([mono, mono], axis=1)

@@ -7,7 +7,9 @@ devices BEFORE jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even though the ambient environment sets JAX_PLATFORMS=axon
+# (the real TPU tunnel): tests must be hermetic and deterministic
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

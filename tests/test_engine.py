@@ -1,0 +1,313 @@
+"""End-to-end engine tests: Lua project -> refresh -> compiled render -> WAV.
+
+The sampleloop->normalize path is checked sample-exactly against a NumPy
+oracle of the reference semantics; bigger graphs are checked for health and
+for window-size invariance (carried state must make chunked rendering equal
+one-shot rendering).
+"""
+
+import numpy as np
+import pytest
+
+from termdaw_tpu.config import Config
+from termdaw_tpu.engine import state as state_mod
+from termdaw_tpu.engine.state import State
+from termdaw_tpu.fileio.wav import write_wav, read_wav
+from termdaw_tpu.fileio.midi import write_midi
+from termdaw_tpu.fileio.wavetable import WaveTable, write_wavetable
+
+
+SR = 8000
+BL = 256
+
+
+def make_project(tmp_path, lua_src, name="test", bl=BL, sr=SR):
+    (tmp_path / "project.toml").write_text(
+        f'[project]\nname = "{name}"\n[settings]\nmain = "project.lua"\n'
+        f"buffer_length = {bl}\nproject_samplerate = {sr}\n"
+    )
+    (tmp_path / "project.lua").write_text(lua_src)
+    cfg = Config.read(tmp_path / "project.toml")
+    return State(cfg, str(tmp_path))
+
+
+def tone_wav(path, freq=440.0, dur=0.25, sr=SR, amp=0.5):
+    t = np.arange(int(sr * dur)) / sr
+    x = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    write_wav(path, np.stack([x, x], 1), sr, bits=16)
+    return x
+
+
+class TestSampleLoopNormalize:
+    def test_render_matches_numpy_oracle(self, tmp_path):
+        tone_wav(tmp_path / "tone.wav", freq=200.0, dur=0.1)
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.5);
+            set_render_samplerate({SR});
+            set_render_bitdepth(16);
+            set_output_file("{out}");
+            load_sample("tone", "{tmp_path}/tone.wav", "");
+            add_sampleloop("loop", 1.0, 0.0, "tone");
+            add_normalize("sum", 1.0, 0.0);
+            connect("loop", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        assert st.cs == int(np.ceil(SR * 0.5 / BL))
+        st.render()
+
+        got, spec = read_wav(out, scale=False)
+        assert spec.sample_rate == SR and spec.bits_per_sample == 16
+
+        # NumPy oracle of the reference semantics
+        raw, _ = read_wav(tmp_path / "tone.wav", scale=False)
+        sample = raw[:, 0] / np.max(np.abs(raw))  # bank peak-normalize
+        L = len(sample)
+        T = st.cs * BL
+        x = sample[np.arange(T) % L].astype(np.float32)
+        xb = x.reshape(st.cs, BL)
+        bm = np.max(np.abs(xb), axis=1)
+        running = np.maximum.accumulate(np.maximum(bm, 1e-6))
+        y = (xb / running[:, None]).reshape(-1)
+        expect = np.trunc(np.clip(y * 32767.0, -32768, 32767))
+
+        np.testing.assert_allclose(got[:, 0], expect, atol=1.0)
+        np.testing.assert_array_equal(got[:, 0], got[:, 1])
+
+    def test_second_render_identical(self, tmp_path):
+        """Render twice: the fb-resync deviation makes renders idempotent,
+        but Normalize's max persists (reference behavior) — the second render
+        starts with the adapted max, so only assert file health + equality of
+        a third render with the second."""
+        tone_wav(tmp_path / "tone.wav")
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.25);
+            set_output_file("{out}");
+            load_sample("tone", "{tmp_path}/tone.wav", "");
+            add_sampleloop("loop", 1.0, 0.0, "tone");
+            add_normalize("sum", 1.0, 0.0);
+            connect("loop", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        st.render()
+        second, _ = read_wav(out)
+        st.render()
+        third, _ = read_wav(out)
+        np.testing.assert_array_equal(second, third)
+
+
+class TestWindowInvariance:
+    def build(self, tmp_path):
+        tone_wav(tmp_path / "kick.wav", freq=60.0, dur=0.05)
+        write_midi(
+            tmp_path / "beat.mid",
+            [(0.01, 0.05, 36, 100), (0.13, 0.05, 38, 90),
+             (0.29, 0.08, 36, 60), (0.4, 0.3, 48, 110)],
+            bpm=120,
+        )
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.75);
+            set_output_file("{out}");
+            load_sample("kick", "{tmp_path}/kick.wav", "");
+            load_midi_floww("beat", "{tmp_path}/beat.mid");
+            add_sample_multi("hits", 1.0, 10.0, "kick", "beat", -1);
+            add_sample_lerp("mono", 0.8, -10.0, "kick", "beat", -1, 32);
+            add_synth("syn", 0.5, 0.0, "beat",
+                0.4, 0.3, {{0.001, 0.02, 0.0, 0.0, 0.0, 0.0}},
+                1.0, 0.8, {{0.01, 0.1, 0.8, 5.0, 0.2, 0.5}},
+                0.5, {{0.01, 0.1, 0.8, 5.0, 0.2, 0.5}});
+            add_adsr("env", 1.0, 0.0, 1.0, "beat", false, true, -1,
+                {{0.01, 0.1, 0.8, 0.1, 0.2, 0.01}});
+            add_bandpass("band", 1.0, 0.0, 1.0, 1000, 0, true);
+            add_normalize("sum", 1.0, 0.0);
+            connect("hits", "env");
+            connect("env", "band");
+            connect("band", "sum");
+            connect("mono", "sum");
+            connect("syn", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        return st, out
+
+    def test_windowed_equals_oneshot(self, tmp_path, monkeypatch):
+        st, out = self.build(tmp_path)
+        monkeypatch.setattr(state_mod, "RENDER_WINDOW_BLOCKS", 1024)
+        st.render()
+        oneshot, _ = read_wav(out)
+
+        # rebuild fresh state, render in small windows
+        st2, out2 = self.build(tmp_path)
+        monkeypatch.setattr(state_mod, "RENDER_WINDOW_BLOCKS", 3)
+        st2.render()
+        chunked, _ = read_wav(out2)
+        # atol 4 LSB: different window shapes change XLA fusion, which can
+        # shift f32 sin() rounding at large phase arguments
+        np.testing.assert_allclose(oneshot, chunked, atol=4.0)
+        assert np.max(np.abs(oneshot)) > 1000  # actually made sound
+
+    def test_no_nans_and_envelope_gates(self, tmp_path):
+        st, out = self.build(tmp_path)
+        st.render()
+        audio, _ = read_wav(out, scale=True)
+        assert not np.any(np.isnan(audio))
+        assert np.max(np.abs(audio)) <= 1.0 + 1e-6
+
+
+class TestNormalizeScan:
+    def test_scan_freezes_max(self, tmp_path):
+        tone_wav(tmp_path / "tone.wav", freq=100.0, dur=0.3)
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.5);
+            set_output_file("{out}");
+            load_sample("tone", "{tmp_path}/tone.wav", "");
+            add_sampleloop("loop", 2.0, 0.0, "tone");
+            add_normalize("sum", 1.0, 0.0);
+            connect("loop", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        st.scan_exact()
+        vals = st.compiled.get_normalization_values()
+        assert len(vals) == 1
+        name, mx = vals[0]
+        assert name == "sum"
+        # loop gain 2.0 on a peak-normalized sample -> peak 2.0
+        assert abs(mx - 2.0) < 1e-3
+        st.render()
+        audio, _ = read_wav(out, scale=True)
+        # scanned normalize: flat scaling, peak ~1.0, no first-block blowup
+        assert abs(np.max(np.abs(audio)) - 1.0) < 1e-2
+
+
+class TestSampSynAndFx:
+    def test_wavetable_and_fx_chain(self, tmp_path):
+        write_midi(tmp_path / "m.mid", [(0.02, 0.2, 60, 100)], bpm=120)
+        write_wavetable(tmp_path / "table.wt", WaveTable.default())
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.5);
+            set_output_file("{out}");
+            load_midi_floww("m", "{tmp_path}/m.mid");
+            load_resource("tbl", "{tmp_path}/table.wt");
+            load_lv2("verb", "http://calf.sourceforge.net/plugins/Reverb");
+            load_lv2("comp", "http://calf.sourceforge.net/plugins/Compressor");
+            parameter("comp", "Attack", 40.0);
+            parameter("comp", "Ratio", 2.0);
+            add_sampsyn("syn", 0.8, 0.0, "m",
+                {{0.01, 0.1, 0.8, 5.0, 0.2, 0.5}}, "tbl");
+            add_lv2fx("fx1", 1.0, 0.0, 0.9, "verb");
+            add_lv2fx("fx2", 1.0, 0.0, 1.0, "comp");
+            add_normalize("sum", 1.0, 0.0);
+            connect("syn", "fx1");
+            connect("fx1", "fx2");
+            connect("fx2", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        st.render()
+        audio, _ = read_wav(out, scale=True)
+        assert not np.any(np.isnan(audio))
+        assert np.max(np.abs(audio)) > 0.05
+
+    def test_bad_wavetable_falls_back(self, tmp_path):
+        write_midi(tmp_path / "m.mid", [(0.02, 0.1, 60, 100)], bpm=120)
+        (tmp_path / "bad.wt").write_bytes(b"not a wavetable")
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.25);
+            set_output_file("{out}");
+            load_midi_floww("m", "{tmp_path}/m.mid");
+            load_resource("tbl", "{tmp_path}/bad.wt");
+            add_sampsyn("syn", 0.8, 0.0, "m", {{}}, "tbl");
+            set_output("syn");
+            """,
+        )
+        st.refresh()
+        assert st.loaded  # default table fallback
+
+
+class TestRefreshDiff:
+    def test_hot_reload_keeps_unchanged_samples(self, tmp_path):
+        tone_wav(tmp_path / "a.wav")
+        tone_wav(tmp_path / "b.wav", freq=300.0)
+        src1 = f"""
+            set_length(0.25);
+            load_sample("a", "{tmp_path}/a.wav", "");
+            add_sampleloop("l", 1.0, 0.0, "a");
+            set_output("l");
+        """
+        st = make_project(tmp_path, src1)
+        st.refresh()
+        assert st.loaded
+        sample_obj = st.sb.get_sample(st.sb.get_index("a"))
+        # change the script: add a second sample, keep "a"
+        (tmp_path / "project.lua").write_text(
+            f"""
+            set_length(0.25);
+            load_sample("a", "{tmp_path}/a.wav", "");
+            load_sample("b", "{tmp_path}/b.wav", "");
+            add_sampleloop("l", 1.0, 0.0, "b");
+            set_output("l");
+            """
+        )
+        st.refresh()
+        assert st.loaded
+        # "a" was not reloaded (same object identity)
+        assert st.sb.get_sample(st.sb.get_index("a")) is sample_obj
+        assert st.sb.get_index("b") is not None
+
+    def test_failed_resource_aborts_refresh(self, tmp_path):
+        st = make_project(
+            tmp_path,
+            """
+            load_sample("ghost", "/nonexistent.wav", "");
+            add_sampleloop("l", 1.0, 0.0, "ghost");
+            set_output("l");
+            """,
+        )
+        st.refresh()
+        assert not st.loaded
+
+    def test_lua_error_aborts(self, tmp_path):
+        st = make_project(tmp_path, "this is not lua ===")
+        st.refresh()
+        assert not st.loaded
+
+    def test_missing_output_fails_check(self, tmp_path):
+        tone_wav(tmp_path / "a.wav")
+        st = make_project(
+            tmp_path,
+            f"""
+            load_sample("a", "{tmp_path}/a.wav", "");
+            add_sampleloop("l", 1.0, 0.0, "a");
+            set_output("nope");
+            """,
+        )
+        st.refresh()
+        assert not st.loaded
