@@ -1,0 +1,71 @@
+"""CLI entrypoint: python -m termdaw_tpu [workdir]
+
+Mirrors the reference binary (main.rs:38-135): one optional positional
+argument = working directory; reads <wdir>/project.toml, prints the banner,
+builds the State, runs the initial refresh, opens the audio sink, and
+dispatches to the configured workflow.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from .config import Config, WorkFlow
+from .engine.sink import make_sink
+from .engine.state import State
+from .utils.term import DEFAULT, BLUE, RED
+from .workflows.stream import run_stream_workflow
+from .workflows.ui import run_ui_workflow
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    wdir = argv[0] if argv else "./"
+    try:
+        config = Config.read(Path(wdir) / "project.toml")
+    except (OSError, KeyError, ValueError) as e:
+        print(f"{RED}Error: could not read project.toml: {e}{DEFAULT}")
+        return 1
+
+    print(
+        f'{DEFAULT}TermDaw: loading {BLUE}"{config.project.name}"{DEFAULT} '
+        f"with \n\tbuffer_length = {BLUE}{config.settings.buffer_length}"
+        f"{DEFAULT} \n\tproject_samplerate = "
+        f"{BLUE}{config.settings.project_samplerate}{DEFAULT} \n\tworkflow = "
+        f"{BLUE}{config.settings.workflow}{DEFAULT} \n\tworkdir = "
+        f"{BLUE}{wdir}{DEFAULT} \n\tmain = "
+        f'{BLUE}"{config.settings.main}"{DEFAULT}'
+    )
+
+    main_path = Path(wdir) / config.settings.main
+    if not main_path.exists():
+        print(
+            f'{RED}Error: could not open main lua file: {BLUE}"{main_path}"'
+            f"{RED}.{DEFAULT}"
+        )
+        return 1
+
+    proj_sr = config.settings.project_samplerate
+    buffer_len = config.settings.buffer_length
+
+    state = State(config, wdir)
+    state.refresh()
+
+    sink = make_sink(proj_sr)
+
+    if config.settings.workflow == WorkFlow.MANUAL:
+        run_ui_workflow(proj_sr, buffer_len, state, sink)
+    else:
+        import os
+
+        idle = os.environ.get("TERMDAW_STREAM_IDLE")
+        run_stream_workflow(
+            proj_sr, buffer_len, state, sink,
+            max_idle_s=float(idle) if idle else None,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Stream workflow: live floww packets from stdin drive the graph.
+
+Mirrors the reference (stream_workflow.rs:13-106): a reader thread decodes
+binary floww packets from stdin (our first-party framing,
+fileio/packets.py) and feeds them to the engine loop; on each feed the
+consumed stream prefixes are trimmed, new events appended, and the floww
+cursor re-synced to the graph time (stream_workflow.rs:63-71). Playback
+starts immediately and re-syncs the cursor every block
+(stream_workflow.rs:93-95). A decode error terminates the workflow
+(reference exits the process, stream_workflow.rs:33-36).
+"""
+
+from __future__ import annotations
+
+import queue
+import sys
+import threading
+
+from ..engine.player import Player
+from ..fileio.packets import PacketDecoder, PacketError
+from ..utils.term import DEFAULT, RED
+
+
+def run_stream_workflow(
+    proj_sr: int, buffer_len: int, state, sink, input_stream=None,
+    max_idle_s: float | None = None,
+) -> None:
+    raw_in = input_stream if input_stream is not None else sys.stdin.buffer
+    feed_queue: queue.Queue = queue.Queue()
+
+    def reader() -> None:
+        dec = PacketDecoder()
+        try:
+            while True:
+                data = raw_in.read(4096)
+                if not data:
+                    break
+                for pkt in dec.feed(data):
+                    feed_queue.put(("feed", [pkt]))
+        except PacketError:
+            print(f"{RED}Error: could not decode std input.{DEFAULT}")
+            feed_queue.put(("fatal", None))
+            return
+        feed_queue.put(("eof", None))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    player = Player(state, sink, proj_sr, buffer_len)
+    player.resync_fb_each_block = True
+    if state.loaded:
+        player.play()
+    else:
+        print(f"{RED}State not loaded!{DEFAULT}")
+
+    import time as _time
+
+    idle_since = _time.monotonic()
+    while True:
+        try:
+            kind, payload = feed_queue.get(timeout=0.01)
+            idle_since = _time.monotonic()
+        except queue.Empty:
+            player.tick()
+            # like the reference, EOF does not stop playback
+            # (stream_workflow.rs loops forever); max_idle_s gives batch
+            # runs and tests a clean exit
+            if max_idle_s is not None and (
+                _time.monotonic() - idle_since > max_idle_s
+            ):
+                break
+            continue
+        if kind == "fatal":
+            break
+        if kind == "eof":
+            continue
+        if not state.loaded:
+            print(f"{RED}State not loaded!{DEFAULT}")
+            continue
+        state.fb.trim_streams()
+        msgs = state.fb.append_streams(payload)
+        state.fb.set_time(state.compiled.get_time())
+        if msgs:
+            print(f"MSGs: {msgs}")
+    sink.close()

@@ -1,0 +1,161 @@
+"""Manual workflow: interactive command loop + paced playback.
+
+The reference runs a `skim` fuzzy command palette on a UI thread and an
+engine thread joined by mpsc channels (ui_workflow.rs:14-115). Here the
+structure is the same two threads: an input thread reads lines from stdin
+and resolves them against the command set with prefix/substring matching
+(doc.md:40-42 — "you can type them (partially)"); the engine loop in the
+main thread executes commands and paces playback (Player.tick, 10 ms poll).
+
+Commands (reference ui_workflow.rs:35-77, doc.md:44-54):
+    quit render refresh normalize play pause stop >skip <prev set get
+    norm-vals
+`set` takes the time in seconds on the same line ("set 12.5") or prompts.
+Every command is gated on a loaded state (check_loaded,
+ui_workflow.rs:101-109).
+"""
+
+from __future__ import annotations
+
+import queue
+import sys
+import threading
+import time
+
+from ..engine.player import Player
+from ..utils.term import DEFAULT, BLUE, RED, MAGENTA
+
+COMMANDS = [
+    "quit", "render", "refresh", "normalize", "play", "pause", "stop",
+    ">skip", "<prev", "set", "get", "norm-vals",
+]
+
+
+def match_command(text: str) -> str | None:
+    """Resolve partial input: exact, unique prefix, then unique substring."""
+    text = text.strip()
+    if not text:
+        return None
+    word = text.split()[0].lower()
+    if word in COMMANDS:
+        return word
+    pref = [c for c in COMMANDS if c.startswith(word)]
+    if len(pref) == 1:
+        return pref[0]
+    sub = [c for c in COMMANDS if word in c]
+    if len(sub) == 1:
+        return sub[0]
+    return None
+
+
+def run_ui_workflow(
+    proj_sr: int, buffer_len: int, state, sink, input_stream=None,
+    output=None,
+) -> None:
+    inp = input_stream if input_stream is not None else sys.stdin
+    cmd_queue: queue.Queue = queue.Queue()
+
+    def reader() -> None:
+        for line in inp:
+            cmd_queue.put(line)
+            if match_command(line) == "quit":
+                break
+        cmd_queue.put(None)  # EOF
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    player = Player(state, sink, proj_sr, buffer_len)
+    running = True
+    while running:
+        try:
+            line = cmd_queue.get(timeout=0.01)
+        except queue.Empty:
+            player.tick()
+            continue
+        if line is None:
+            break
+        cmd = match_command(line)
+        if cmd is None:
+            print(f"{RED}TermDaw: command not found!{DEFAULT}")
+            continue
+        print(f"{MAGENTA}---- {cmd}{DEFAULT}")
+
+        def check_loaded() -> bool:
+            if not state.loaded:
+                print(f"{RED}State not loaded!{DEFAULT}")
+                return False
+            return True
+
+        if cmd == "quit":
+            running = False
+        elif cmd == "refresh":
+            state.refresh()
+            player.playing = False
+            sink.clear()
+            sink.pause()
+        elif cmd == "render":
+            if check_loaded():
+                sink.clear()
+                sink.pause()
+                player.playing = False
+                state.render()
+        elif cmd == "normalize":
+            if check_loaded():
+                sink.clear()
+                sink.pause()
+                player.playing = False
+                state.scan_exact()
+        elif cmd == "play":
+            if check_loaded():
+                player.play()
+        elif cmd == "pause":
+            player.pause()
+        elif cmd == "stop":
+            if check_loaded():
+                player.stop()
+        elif cmd == ">skip":
+            if check_loaded():
+                sink.clear()
+                new_t = state.compiled.change_time(5 * proj_sr, True)
+                state.fb.set_time(new_t)
+        elif cmd == "<prev":
+            if check_loaded():
+                sink.clear()
+                new_t = state.compiled.change_time(5 * proj_sr, False)
+                state.fb.set_time(new_t)
+        elif cmd == "set":
+            if check_loaded():
+                parts = line.split()
+                raw = parts[1] if len(parts) > 1 else _prompt_time(inp)
+                try:
+                    seconds = float(raw)
+                except (TypeError, ValueError):
+                    print(
+                        f"{RED}Error: could not parse time, did not set "
+                        f"time.{DEFAULT}"
+                    )
+                    continue
+                if seconds < 0.0:
+                    print(f"{RED}Error: time needs to be positive.{DEFAULT}")
+                    continue
+                player.seek(int(seconds * proj_sr))
+        elif cmd == "get":
+            if check_loaded():
+                tt = state.compiled.get_time()
+                tf = tt / proj_sr
+                print(
+                    f"{DEFAULT}Frame: {BLUE}{tt}{DEFAULT}, Time: "
+                    f"{BLUE}{tf}{DEFAULT}"
+                )
+        elif cmd == "norm-vals":
+            if check_loaded():
+                for name, val in state.compiled.get_normalization_values():
+                    print(f"{MAGENTA} {name}: {val}{DEFAULT}")
+    sink.close()
+
+
+def _prompt_time(inp) -> str | None:
+    print("time (seconds): ", end="", flush=True)
+    line = inp.readline()
+    return line.strip() if line else None

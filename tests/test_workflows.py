@@ -1,0 +1,197 @@
+"""Workflow tests: scripted stdin drives the UI and stream loops."""
+
+import io
+
+import numpy as np
+import pytest
+
+from termdaw_tpu.config import Config
+from termdaw_tpu.engine.sink import NullSink, FileSink, make_sink
+from termdaw_tpu.engine.state import State
+from termdaw_tpu.fileio.midi import write_midi
+from termdaw_tpu.fileio.packets import encode_events, encode_text
+from termdaw_tpu.fileio.wav import write_wav, read_wav
+from termdaw_tpu.workflows.stream import run_stream_workflow
+from termdaw_tpu.workflows.ui import run_ui_workflow, match_command
+
+SR = 8000
+BL = 256
+
+
+def make_state(tmp_path, lua_src):
+    (tmp_path / "project.toml").write_text(
+        f'[settings]\nmain = "project.lua"\nbuffer_length = {BL}\n'
+        f"project_samplerate = {SR}\n"
+    )
+    (tmp_path / "project.lua").write_text(lua_src)
+    st = State(Config.read(tmp_path / "project.toml"), str(tmp_path))
+    st.refresh()
+    return st
+
+
+def tone_project(tmp_path, out):
+    t = np.arange(SR // 4) / SR
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(tmp_path / "tone.wav", np.stack([x, x], 1), SR, bits=16)
+    return make_state(
+        tmp_path,
+        f"""
+        set_length(0.5);
+        set_output_file("{out}");
+        load_sample("tone", "{tmp_path}/tone.wav", "");
+        add_sampleloop("loop", 1.0, 0.0, "tone");
+        add_normalize("sum", 1.0, 0.0);
+        connect("loop", "sum");
+        set_output("sum");
+        """,
+    )
+
+
+class TestCommandMatching:
+    def test_exact_prefix_substring(self):
+        assert match_command("render") == "render"
+        assert match_command("ren") == "render"
+        assert match_command("q") == "quit"
+        assert match_command("norm-") == "norm-vals"
+        assert match_command("skip") == ">skip"  # unique substring
+        assert match_command("zzz") is None
+        assert match_command("") is None
+        # ambiguous prefixes resolve to None
+        assert match_command("p") is None  # play/pause/prev…
+
+
+class TestUiWorkflow:
+    def test_scripted_session(self, tmp_path, capsys):
+        out = tmp_path / "out.wav"
+        st = tone_project(tmp_path, out)
+        assert st.loaded
+        cmds = io.StringIO(
+            "get\nset 0.25\nget\nnormalize\nnorm-vals\nrender\nquit\n"
+        )
+        run_ui_workflow(SR, BL, st, NullSink(SR), input_stream=cmds)
+        captured = capsys.readouterr().out
+        assert "Frame: 0" in captured
+        assert f"Frame: {int(0.25 * SR)}" in captured
+        assert "sum:" in captured  # norm-vals output
+        assert out.exists()
+        audio, spec = read_wav(out)
+        assert spec.sample_rate == 48000  # default render sr
+        assert len(audio) > 0
+
+    def test_unknown_command(self, tmp_path, capsys):
+        st = tone_project(tmp_path, tmp_path / "o.wav")
+        cmds = io.StringIO("frobnicate\nquit\n")
+        run_ui_workflow(SR, BL, st, NullSink(SR), input_stream=cmds)
+        assert "command not found" in capsys.readouterr().out
+
+    def test_not_loaded_gating(self, tmp_path, capsys):
+        st = make_state(tmp_path, "x = 1 +")  # refresh fails
+        assert not st.loaded
+        cmds = io.StringIO("render\nplay\nquit\n")
+        run_ui_workflow(SR, BL, st, NullSink(SR), input_stream=cmds)
+        assert "State not loaded!" in capsys.readouterr().out
+
+    def test_play_produces_audio(self, tmp_path):
+        st = tone_project(tmp_path, tmp_path / "o.wav")
+        sink = NullSink(SR)
+
+        # patch time so the player thinks 0.1s elapsed instantly
+        import termdaw_tpu.engine.player as player_mod
+
+        times = iter([0.0] + [0.1] * 1000)
+        real_monotonic = player_mod.time.monotonic
+        from termdaw_tpu.engine.player import Player
+
+        p = Player(st, sink, SR, BL)
+        p.play()
+        p.since = real_monotonic() - 0.1  # pretend 100ms elapsed
+        p.tick()
+        # 0.1s at 8000Hz / 256-frame blocks -> at least 3 blocks queued
+        assert sink.frames_queued >= 3 * BL
+        assert st.compiled.get_time() == sink.frames_queued
+
+
+class TestStreamWorkflow:
+    def test_stream_events_render(self, tmp_path):
+        t = np.arange(SR // 8) / SR
+        x = (np.exp(-t * 60) * np.sin(2 * np.pi * 80 * t)).astype(np.float32)
+        write_wav(tmp_path / "kick.wav", np.stack([x, x], 1), SR, bits=16)
+        st = make_state(
+            tmp_path,
+            f"""
+            load_sample("kick", "{tmp_path}/kick.wav", "");
+            declare_stream("drums");
+            add_sample_multi("hits", 1.0, 0.0, "kick", "drums", -1);
+            set_output("hits");
+            """,
+        )
+        assert st.loaded
+        events = np.asarray(
+            [[0.0, 0.05, 36.0, 0.9], [0.0, 0.2, 38.0, 0.8]], np.float32
+        )
+        blob = encode_events("drums", events) + encode_text("hello-stream")
+        sink = NullSink(SR)
+
+        # make pacing instant: play a fixed slice then EOF ends the loop
+        from termdaw_tpu.engine import player as pm
+        import time as _time
+
+        run_stream_workflow(
+            SR, BL, st, sink, input_stream=io.BytesIO(blob), max_idle_s=0.5
+        )
+        # events were appended into the declared stream
+        idx = st.fb.get_index("drums")
+        assert idx is not None
+
+    def test_decode_error_stops(self, tmp_path, capsys):
+        st = make_state(
+            tmp_path,
+            """
+            declare_stream("s");
+            add_debug_sine("v", 1.0, 0.0, "s");
+            set_output("v");
+            """,
+        )
+        bad = bytes([0xFF, 1, 2, 3])
+        run_stream_workflow(
+            SR, BL, st, NullSink(SR), input_stream=io.BytesIO(bad),
+            max_idle_s=0.2,
+        )
+        assert "could not decode" in capsys.readouterr().out
+
+
+class TestSinks:
+    def test_file_sink_roundtrip(self, tmp_path):
+        p = tmp_path / "pb.wav"
+        s = FileSink(SR, str(p))
+        data = np.linspace(-0.5, 0.5, 512).astype(np.float32)
+        s.queue_audio(data)
+        s.close()
+        audio, spec = read_wav(p, scale=True)
+        assert spec.bits_per_sample == 32
+        np.testing.assert_allclose(audio.reshape(-1), data, atol=1e-6)
+
+    def test_make_sink_null(self):
+        assert isinstance(make_sink(SR, "null"), NullSink)
+        assert isinstance(make_sink(SR, "file:/tmp/x.wav"), FileSink)
+
+
+class TestCli:
+    def test_cli_headless_render(self, tmp_path, monkeypatch, capsys):
+        out = tmp_path / "out.wav"
+        st = tone_project(tmp_path, out)  # writes project files
+        monkeypatch.setenv("TERMDAW_SINK", "null")
+        monkeypatch.setattr("sys.stdin", io.StringIO("render\nquit\n"))
+        from termdaw_tpu.cli import main
+
+        rc = main([str(tmp_path)])
+        assert rc == 0
+        assert out.exists()
+        captured = capsys.readouterr().out
+        assert "TermDaw: loading" in captured
+
+    def test_cli_missing_project(self, tmp_path, capsys):
+        from termdaw_tpu.cli import main
+
+        rc = main([str(tmp_path / "nope")])
+        assert rc == 1
