@@ -1,0 +1,131 @@
+"""Benchmark harness: renders the BASELINE configs on the real chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": xRT, "unit": "x_realtime_48k", "vs_baseline": r}
+
+Headline metric (BASELINE.json): rendered audio seconds per wall second
+(xRT vs the 48 kHz project rate) for the sample-project-style graph —
+2 sample loops -> normalize -> 16-bit 44.1 kHz WAV render, 40 s song —
+measured end-to-end over State.render() (event baking, device render,
+48k->44.1k sinc resample, quantize, WAV write). vs_baseline is the ratio
+against the 500x-realtime driver target. Status goes to stderr; secondary
+config timings are included in the JSON as "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+os.environ.setdefault("TERMDAW_COLOR", "0")
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_sample_project(d: Path, length_sec: float, sr: int, bl: int):
+    """BASELINE config 1: kick/snare sample loops -> normalize -> 16-bit
+    44.1 kHz render (reference README.md example shape)."""
+    sys.path.insert(0, str(Path(__file__).parent))
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+    from termdaw_tpu.utils.fixtures import _drum
+
+    d.mkdir(parents=True, exist_ok=True)
+    _drum(d / "kick.wav", sr, 0.5, 55.0, 10.0)
+    _drum(d / "snare.wav", sr, 0.4, 190.0, 12.0, noise=0.5, seed=7)
+    (d / "project.lua").write_text(f"""
+set_length({length_sec});
+set_render_samplerate(44100);
+set_render_bitdepth(16);
+set_output_file("{d}/outp.wav");
+load_sample("kick", "{d}/kick.wav", "");
+load_sample("snare", "{d}/snare.wav", "");
+add_sampleloop("kick", 1.0, -10.0, "kick");
+add_sampleloop("snare", 0.8, 10.0, "snare");
+add_normalize("sum", 1.0, 0.0);
+connect("kick", "sum");
+connect("snare", "sum");
+set_output("sum");
+""")
+    (d / "project.toml").write_text(
+        f'[settings]\nmain = "project.lua"\nbuffer_length = {bl}\n'
+        f"project_samplerate = {sr}\n"
+    )
+    st = State(Config.read(d / "project.toml"), str(d))
+    st.refresh()
+    assert st.loaded
+    return st
+
+
+def time_renders(st, n: int) -> list[float]:
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        st.render()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def main() -> None:
+    length_sec = float(os.environ.get("BENCH_LENGTH_SEC", "40"))
+    sr, bl = 48000, 1024
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    from termdaw_tpu.engine import state as state_mod
+
+    tmp = Path(tempfile.mkdtemp(prefix="termdaw_bench_"))
+    extra = {}
+
+    # headline: sample-project config
+    log(f"building sample-project config ({length_sec}s @ {sr} Hz)...")
+    st = build_sample_project(tmp / "c1", length_sec, sr, bl)
+    log("warmup (compile)...")
+    t0 = time.perf_counter()
+    st.render()
+    compile_s = time.perf_counter() - t0
+    log(f"warmup render (incl compile): {compile_s:.1f}s")
+    times = time_renders(st, reps)
+    p50 = statistics.median(times)
+    xrt = length_sec / p50
+    log(f"headline: p50 {p50*1e3:.1f} ms for {length_sec}s -> {xrt:.0f}x RT")
+    extra["headline_p50_ms"] = round(p50 * 1e3, 2)
+    extra["headline_compile_s"] = round(compile_s, 1)
+
+    # config 2: full demo graph (all vertex kinds + native fx chain)
+    try:
+        from termdaw_tpu.utils.fixtures import build_demo_project
+
+        st2 = build_demo_project(
+            tmp / "c2", sr=sr, bl=bl, length_sec=length_sec, include_fx=True
+        )
+        st2.render()
+        times2 = time_renders(st2, max(2, reps // 2))
+        p50_2 = statistics.median(times2)
+        extra["fullgraph_p50_ms"] = round(p50_2 * 1e3, 2)
+        extra["fullgraph_xrt"] = round(length_sec / p50_2, 1)
+        log(f"full graph: p50 {p50_2*1e3:.1f} ms -> {length_sec/p50_2:.0f}x RT")
+    except Exception as e:  # pragma: no cover
+        log(f"full-graph config failed: {e}")
+        extra["fullgraph_error"] = str(e)
+
+    result = {
+        "metric": "render_throughput_sample_project",
+        "value": round(xrt, 1),
+        "unit": "x_realtime_48k",
+        "vs_baseline": round(xrt / 500.0, 3),
+        "extra": extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,14 +38,36 @@ from ..graph import Graph, VertexDecl, CompiledGraph
 from ..graph import graph as G
 from ..lua import LuaRuntime, LuaError, LuaTable
 from ..ops.adsr import build_adsr_conf
-from ..ops.quantize import quantize_interleave, amplitude_for
-from ..ops.resample import resample_device
 from .plugins import PluginHost, AddPluginError
 from ..utils.term import DEFAULT, BLUE, YELLOW, RED, GREEN
 
-# blocks per device call when rendering long timelines (bounds peak memory;
-# windows chain exactly through carried state)
+# blocks per device call when rendering long timelines (bounds peak memory
+# AND compile time; windows chain exactly through carried state)
 RENDER_WINDOW_BLOCKS = 512
+
+
+def _finish_render_impl(windows, psr: int, render_sr: int, bd: int):
+    import jax.numpy as jnp
+
+    audio = jnp.concatenate(windows, axis=0)
+    if psr > render_sr:
+        audio = _resample_traced(audio, psr, render_sr)
+    from ..ops.quantize import quantize_interleave_traced
+
+    return quantize_interleave_traced(audio, bd)
+
+
+def _resample_traced(audio, psr, render_sr):
+    from ..ops.resample import resample_device
+
+    return resample_device(audio, psr, render_sr)
+
+
+import jax as _jax
+
+_finish_render = _jax.jit(
+    _finish_render_impl, static_argnames=("psr", "render_sr", "bd")
+)
 
 
 def _floats(v) -> list[float]:
@@ -506,15 +528,14 @@ class State:
             self.fb.advance_blocks(nb)
             left -= nb
 
-        import jax.numpy as jnp
-
-        amplitude = amplitude_for(self.bd)
         writer = WavWriter(self.output_file, 2, self.render_sr, self.bd)
         if windows:
-            audio = jnp.concatenate(windows, axis=0)
-            if psr > self.render_sr:
-                audio = resample_device(audio, psr, self.render_sr)
-            ints = np.asarray(quantize_interleave(audio, self.bd))
+            # one fused device call: concat -> (resample) -> quantize, then a
+            # single device->host fetch (syncs over the TPU tunnel are ~30 ms
+            # each; transfers dominate the steady-state render time)
+            ints = np.asarray(
+                _finish_render(tuple(windows), psr, self.render_sr, self.bd)
+            )
             writer.write_ints(ints)
         writer.close()
         cg.set_time(0)

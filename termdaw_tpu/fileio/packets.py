@@ -71,6 +71,22 @@ class PacketDecoder:
     def feed(self, data: bytes) -> list[FlowwPacket]:
         self._buf += data
         out: list[FlowwPacket] = []
+        # native frame scanner finds all complete frame spans in one pass
+        from ..native import scan_frames
+
+        try:
+            spans = scan_frames(self._buf)
+        except ValueError as e:
+            raise PacketError(str(e)) from None
+        if spans is not None:
+            consumed_total = 0
+            for off, length in spans:
+                pkt, consumed = self._try_decode_at(off)
+                assert pkt is not None and consumed == length
+                out.append(pkt)
+                consumed_total = off + length
+            del self._buf[:consumed_total]
+            return out
         while True:
             pkt, consumed = self._try_decode()
             if pkt is None:
@@ -78,6 +94,14 @@ class PacketDecoder:
             out.append(pkt)
             del self._buf[:consumed]
         return out
+
+    def _try_decode_at(self, offset: int) -> tuple[FlowwPacket | None, int]:
+        saved = self._buf
+        self._buf = saved[offset:]
+        try:
+            return self._try_decode()
+        finally:
+            self._buf = saved
 
     def _try_decode(self) -> tuple[FlowwPacket | None, int]:
         buf = self._buf

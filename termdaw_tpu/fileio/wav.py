@@ -47,7 +47,12 @@ class WavError(ValueError):
 
 
 def _unpack24(raw: bytes) -> np.ndarray:
-    """Unpack little-endian signed 24-bit PCM into int32 (numpy path)."""
+    """Unpack little-endian signed 24-bit PCM into int32."""
+    from ..native import unpack24 as native_unpack24
+
+    nat = native_unpack24(raw)
+    if nat is not None:
+        return nat
     b = np.frombuffer(raw, dtype=np.uint8)
     n = len(b) // 3
     b = b[: n * 3].reshape(n, 3)
@@ -63,6 +68,11 @@ def _unpack24(raw: bytes) -> np.ndarray:
 
 def _pack24(vals: np.ndarray) -> bytes:
     """Pack int32 (already clipped to 24-bit range) into little-endian 24-bit."""
+    from ..native import pack24 as native_pack24
+
+    nat = native_pack24(np.asarray(vals, np.int32))
+    if nat is not None:
+        return nat
     v = vals.astype(np.int64) & 0xFFFFFF
     out = np.empty((len(v), 3), dtype=np.uint8)
     out[:, 0] = v & 0xFF

@@ -270,6 +270,114 @@ class CompiledGraph:
         them). Advances graph time and all carried state. Returns device
         audio [nb*bl, 2]."""
         t0 = self.t
+        bakes, new_carries = self._bake_all(fb, t0, nb)
+
+        fx_params = {
+            str(vi): {
+                k: jnp.float32(v)
+                for k, v in self.plugin_host.param_values(
+                    self.statics[vi].fx_plugin_index
+                ).items()
+            }
+            for vi in self.order
+            if self.statics[vi].kind == G.PLUGINFX
+        }
+
+        fn = self._get_fn(nb, is_scan)
+        new_state, audio = fn(
+            self.num_state,
+            (self._gains, self._angles, self._wets),
+            bakes,
+            tuple(self.samples),
+            tuple(self.wavetables),
+            fx_params,
+            jnp.int32(t0),
+        )
+        self.num_state = new_state
+        self.carries.update(new_carries)
+        self.t = t0 + nb * self.bl
+        self.graph.t = self.t
+        return audio
+
+    # -- sharded rendering (sequence parallelism over the timeline) ---------
+    def render_window_sharded(
+        self, fb: FlowwBank, nb_total: int, mesh, is_scan: bool = False,
+        axis_name: str = "sp",
+    ) -> jnp.ndarray:
+        """Render `nb_total` blocks with the block axis sharded over `mesh`.
+
+        The reference is strictly serial (SURVEY.md §2e); this is the
+        TPU-native scaling story: generators are pure functions of the
+        global frame index so each device renders its block range
+        independently; the only cross-device data is tiny — per-block
+        maxima for Normalize's causal prefix (all_gather over ICI) and the
+        4-lane affine summaries of the band-pass IIR (all_gather + local
+        composition). Numeric state stays replicated.
+
+        PLUGINFX vertices are not yet shardable (their feedback delay
+        lines span shard boundaries); graphs using them raise here.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        for vi in self.order:
+            if self.statics[vi].kind == G.PLUGINFX:
+                raise ValueError(
+                    "sharded rendering does not support pluginfx vertices yet"
+                )
+        n_dev = mesh.shape[axis_name]
+        if nb_total % n_dev != 0:
+            raise ValueError(f"nb_total {nb_total} not divisible by {n_dev}")
+        nb_local = nb_total // n_dev
+
+        t0 = self.t
+        bakes, new_carries = self._bake_all(fb, t0, nb_total)
+
+        def bake_spec(tbl):
+            return {
+                k: P(axis_name, None) if k == "idx" else P()
+                for k in tbl
+            }
+
+        key = ("sharded", nb_total, is_scan, n_dev)
+        if key not in self._jit_cache:
+            state_spec = jax.tree.map(lambda _: P(), self.num_state)
+            in_specs = (
+                state_spec,
+                (P(), P(), P()),
+                {k: bake_spec(tbl) for k, tbl in bakes.items()},
+                tuple(P(None, None) for _ in self.samples),
+                tuple((P(None), P(None, None)) for _ in self.wavetables),
+                {},  # fx_params (empty: no pluginfx in sharded mode)
+                P(),
+            )
+            out_specs = (state_spec, P(axis_name, None, None))
+            fn = jax.shard_map(
+                partial(
+                    self._program, nb=nb_local, is_scan=is_scan,
+                    axis_name=axis_name, block_shaped_out=True,
+                ),
+                mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+            self._jit_cache[key] = jax.jit(fn)
+
+        new_state, audio = self._jit_cache[key](
+            self.num_state,
+            (self._gains, self._angles, self._wets),
+            bakes,
+            tuple(self.samples),
+            tuple(self.wavetables),
+            {},
+            jnp.int32(t0),
+        )
+        self.num_state = new_state
+        self.carries.update(new_carries)
+        self.t = t0 + nb_total * self.bl
+        self.graph.t = self.t
+        return audio.reshape(nb_total * self.bl, 2)
+
+    def _bake_all(self, fb: FlowwBank, t0: int, nb: int):
+        """Host-side event baking for a window (shared by both paths)."""
         bakes: dict[str, dict[str, jnp.ndarray]] = {}
         new_carries: dict[int, Any] = {}
         for vi, carry in self.carries.items():
@@ -307,33 +415,7 @@ class CompiledGraph:
                 continue
             bakes[key] = {k: jnp.asarray(a) for k, a in tbl.items()}
             new_carries[vi] = nc
-
-        fx_params = {
-            str(vi): {
-                k: jnp.float32(v)
-                for k, v in self.plugin_host.param_values(
-                    self.statics[vi].fx_plugin_index
-                ).items()
-            }
-            for vi in self.order
-            if self.statics[vi].kind == G.PLUGINFX
-        }
-
-        fn = self._get_fn(nb, is_scan)
-        new_state, audio = fn(
-            self.num_state,
-            (self._gains, self._angles, self._wets),
-            bakes,
-            tuple(self.samples),
-            tuple(self.wavetables),
-            fx_params,
-            jnp.int32(t0),
-        )
-        self.num_state = new_state
-        self.carries.update(new_carries)
-        self.t = t0 + nb * self.bl
-        self.graph.t = self.t
-        return audio
+        return bakes, new_carries
 
     # -- program construction -------------------------------------------------
     def _get_fn(self, nb: int, is_scan: bool):
@@ -346,12 +428,17 @@ class CompiledGraph:
 
     def _program(
         self, num_state, params, bakes, samples, wts, fx_params, t0,
-        *, nb: int, is_scan: bool,
+        *, nb: int, is_scan: bool, axis_name: str | None = None,
+        block_shaped_out: bool = False,
     ):
         gains, angles, wets = params
         bl, sr = self.bl, self.sr
         T = nb * bl
-        frames = t0 + jnp.arange(T, dtype=jnp.int32)
+        if axis_name is None:
+            frames = t0 + jnp.arange(T, dtype=jnp.int32)
+        else:
+            dev = jax.lax.axis_index(axis_name).astype(jnp.int32)
+            frames = t0 + dev * T + jnp.arange(T, dtype=jnp.int32)
         bufs: dict[int, jnp.ndarray] = {}
         ns = dict(num_state)
 
@@ -371,11 +458,14 @@ class CompiledGraph:
                 xr = x.reshape(nb, bl, 2)
                 if is_scan:
                     outr, scan_max = mix.normalize_scan(
-                        xr, ns[f"{vi}.max"], ns[f"{vi}.scan_max"]
+                        xr, ns[f"{vi}.max"], ns[f"{vi}.scan_max"],
+                        axis_name=axis_name,
                     )
                     ns[f"{vi}.scan_max"] = scan_max
                 else:
-                    outr, mx = mix.normalize_live(xr, ns[f"{vi}.max"])
+                    outr, mx = mix.normalize_live(
+                        xr, ns[f"{vi}.max"], axis_name=axis_name
+                    )
                     ns[f"{vi}.max"] = mx
                 out = outr.reshape(T, 2)
             elif kind == G.SAMPLELOOP:
@@ -410,7 +500,7 @@ class CompiledGraph:
             elif kind == G.BANDPASS:
                 out, bp = filters.band_pass_timeline(
                     x, ns[f"{vi}.bp"], st.lgamma, st.hgamma,
-                    st.pass_mode, wets[vi],
+                    st.pass_mode, wets[vi], axis_name=axis_name,
                 )
                 ns[f"{vi}.bp"] = bp
             elif kind == G.PLUGINFX:
@@ -430,4 +520,7 @@ class CompiledGraph:
             out = mix.post(out, angles[vi], gains[vi])
             bufs[vi] = out
 
-        return ns, bufs[self.output]
+        result = bufs[self.output]
+        if block_shaped_out:
+            result = result.reshape(nb, bl, 2)
+        return ns, result

@@ -74,10 +74,18 @@ def band_pass_timeline(
     hgamma,
     pass_mode: bool,
     wet,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, BandPassState]:
     """Filter a [F, 2] window. Returns (out, new_state).
 
     lgamma/hgamma/wet are traced scalars; pass_mode is static.
+
+    Under `axis_name` (timeline sharded across devices) the recurrence's
+    device boundary is fixed by composing each device's cumulative affine
+    map: all devices all-gather their last (A_cum, B_cum), device i seeds
+    its local scan with the composition of devices 0..i-1 applied to the
+    global initial state, and the final state (composition of all devices)
+    is identical everywhere — so the carried state stays replicated.
     """
     lg = jnp.asarray(lgamma, jnp.float32)
     hg = jnp.asarray(hgamma, jnp.float32)
@@ -91,12 +99,44 @@ def band_pass_timeline(
     pass_mul = jnp.float32(1.0 if pass_mode else 0.0)
     cut_mul = 1.0 - pass_mul
 
-    y0 = jnp.where(state.first, jnp.tile(x[0], 2), state.prevs)  # [4]: lL lR hL hR
+    if axis_name is None:
+        x_first = x[0]
+    else:
+        # global first sample = device 0's first frame
+        x_first = jax.lax.all_gather(x[0], axis_name)[0]
+    y0 = jnp.where(state.first, jnp.tile(x_first, 2), state.prevs)  # [4]
+
     g = jnp.stack([lg, lg, hg, hg])  # [4]
     a = 1.0 - g
     xin = jnp.concatenate([x, x], axis=1)  # [F, 4] lanes lL lR hL hR
     b = g * xin
-    y = first_order_scan(b, a, y0)  # [F, 4]
+
+    A = jnp.broadcast_to(a, b.shape)
+    A_cum, B_cum = jax.lax.associative_scan(_affine_combine, (A, b), axis=0)
+    if axis_name is None:
+        y = A_cum * y0 + B_cum
+        final = y[-1]
+    else:
+        allA = jax.lax.all_gather(A_cum[-1], axis_name)  # [n_dev, 4]
+        allB = jax.lax.all_gather(B_cum[-1], axis_name)
+        n_dev = allA.shape[0]
+        i = jax.lax.axis_index(axis_name)
+        apre = jnp.ones(4, jnp.float32)
+        bpre = jnp.zeros(4, jnp.float32)
+        for j in range(n_dev):
+            take = j < i
+            apre2 = allA[j] * apre
+            bpre2 = allA[j] * bpre + allB[j]
+            apre = jnp.where(take, apre2, apre)
+            bpre = jnp.where(take, bpre2, bpre)
+        y0_local = apre * y0 + bpre
+        y = A_cum * y0_local + B_cum
+        # final global state: compose ALL devices (replicated result)
+        afin = jnp.ones(4, jnp.float32)
+        bfin = jnp.zeros(4, jnp.float32)
+        for j in range(n_dev):
+            afin, bfin = allA[j] * afin, allA[j] * bfin + allB[j]
+        final = afin * y0 + bfin
 
     lp = y[:, 0:2]
     hp = y[:, 2:4]
@@ -104,10 +144,9 @@ def band_pass_timeline(
     pas = x - cut
     out = cut * cut_mul + pas * pass_mul
 
-    new_prevs = y[-1]
     out = jnp.where(skip, x, out)
     new_state = BandPassState(
-        prevs=jnp.where(skip, state.prevs, new_prevs),
+        prevs=jnp.where(skip, state.prevs, final),
         first=jnp.where(skip, state.first, jnp.asarray(False)),
     )
     return out, new_state

@@ -62,29 +62,46 @@ def block_maxima(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_live(
-    x: jnp.ndarray, max_in: jnp.ndarray
+    x: jnp.ndarray, max_in: jnp.ndarray, axis_name: str | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Normal-render Normalize: per block k the scale is
     1 / max(max_in, cummax(block_maxima)[0..k]) — the reference's
     self-adapting growth (extensions.rs:321-329), parallelized as an
     associative prefix-max over blocks.
 
-    Returns (scaled [nb, bl, 2], max_out scalar)."""
+    Under `axis_name` (sequence-parallel timeline sharding) the prefix runs
+    across devices: local block maxima are all-gathered (tiny — one float
+    per block), the global running max computed identically everywhere, and
+    each device scales its own slice. Returns (scaled [nb, bl, 2],
+    max_out scalar — replicated)."""
     bm = block_maxima(x)
-    running = jax.lax.associative_scan(jnp.maximum, bm)
-    running = jnp.maximum(running, jnp.asarray(max_in, jnp.float32))
-    out = x / running[:, None, None]
-    return out, running[-1]
+    if axis_name is None:
+        running = jax.lax.associative_scan(jnp.maximum, bm)
+        running = jnp.maximum(running, jnp.asarray(max_in, jnp.float32))
+        out = x / running[:, None, None]
+        return out, running[-1]
+    nb_local = bm.shape[0]
+    bm_all = jax.lax.all_gather(bm, axis_name)  # [n_dev, nb_local]
+    running_all = jax.lax.associative_scan(jnp.maximum, bm_all.reshape(-1))
+    running_all = jnp.maximum(running_all, jnp.asarray(max_in, jnp.float32))
+    i = jax.lax.axis_index(axis_name)
+    mine = jax.lax.dynamic_slice(running_all, (i * nb_local,), (nb_local,))
+    out = x / mine[:, None, None]
+    return out, running_all[-1]
 
 
 def normalize_scan(
-    x: jnp.ndarray, max_in: jnp.ndarray, scan_max_in: jnp.ndarray
+    x: jnp.ndarray, max_in: jnp.ndarray, scan_max_in: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scan-pass Normalize: record the window peak into scan_max while
     scaling by the (frozen) current max (extensions.rs:321-329 is_scan arm).
 
     Returns (scaled, scan_max_out)."""
     bm = block_maxima(x)
-    scan_max_out = jnp.maximum(jnp.max(bm), jnp.asarray(scan_max_in, jnp.float32))
+    peak = jnp.max(bm)
+    if axis_name is not None:
+        peak = jax.lax.pmax(peak, axis_name)
+    scan_max_out = jnp.maximum(peak, jnp.asarray(scan_max_in, jnp.float32))
     out = x / jnp.asarray(max_in, jnp.float32)
     return out, scan_max_out

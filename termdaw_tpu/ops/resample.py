@@ -1,21 +1,25 @@
-"""Windowed-sinc sample-rate conversion as an XLA gather/contract kernel.
+"""Windowed-sinc sample-rate conversion, MXU-native.
 
-Replaces the reference's rubato `SincFixedIn` (sample.rs:150-175 on sample
-import; state.rs:533-561 on render downsampling) with the same filter recipe:
-256-tap sinc, Blackman-Harris window, relative cutoff 0.95, and a 256x
-oversampled filter bank with linear interpolation between adjacent phases.
+Replaces the reference's rubato `SincFixedIn` (sample.rs:150-175 import
+path; state.rs:533-561 render downsampling) with the same filter recipe —
+256-tap sinc, Blackman-Harris window, cutoff 0.95 (scaled by the ratio when
+downsampling) — formulated for TPU:
 
-Alignment convention (first-party, documented): output sample n corresponds
-exactly to input position n * from/to; the filter is centered (zero group
-delay), edges are zero-padded, and the output length is
-ceil(len * to / from). When downsampling, the cutoff is scaled by the ratio
-to suppress aliasing.
+**Polyphase convolution** (the fast path, used whenever the reduced ratio
+L/M has L <= 4096 — true for every musical rate pair): output phase
+p in [0, L) reads the input window at offset floor(p*M/L) with fractional
+delay (p*M mod L)/L. Packing each phase's exact sinc into one kernel row at
+its offset turns the whole resample into a single
+`lax.conv_general_dilated` with stride M and L output channels — a dense
+matmul on the MXU, no gathers. Filters are computed exactly per phase in
+float64 on the host (no oversampled-bank interpolation needed) and cached.
 
-TPU formulation: for each output frame we gather a [taps]-window of the
-padded input and contract it with a per-output interpolated filter — a
-batched dot that XLA fuses into one pass. Outputs are processed in fixed
-tiles via `lax.map` so peak memory stays at tile x taps regardless of length.
-The filter bank (257 x 256 float32, ~260 KB) fits in VMEM.
+A gather-based fallback (oversampled bank + linear interpolation, rubato
+style) covers pathological ratios.
+
+Alignment convention (first-party, documented): output sample n
+corresponds exactly to input position n*M/L; the filter is centered (zero
+group delay), edges are zero-padded, output length = ceil(len*L/M).
 """
 
 from __future__ import annotations
@@ -30,123 +34,155 @@ import numpy as np
 SINC_LEN = 256
 OVERSAMPLE = 256
 F_CUTOFF = 0.95
+MAX_PHASES = 4096
 _TILE = 8192
 
 
-def _blackman_harris(n: int) -> np.ndarray:
-    """4-term Blackman-Harris window."""
-    x = np.arange(n, dtype=np.float64)
-    w = (
+def _window_at(x: np.ndarray) -> np.ndarray:
+    """4-term Blackman-Harris evaluated at tap positions x (centered
+    coordinates, window support [-SINC_LEN/2, SINC_LEN/2])."""
+    n = SINC_LEN
+    wpos = np.clip((x / n + 0.5) * (n - 1), 0, n - 1)
+    return (
         0.35875
-        - 0.48829 * np.cos(2 * np.pi * x / (n - 1))
-        + 0.14128 * np.cos(4 * np.pi * x / (n - 1))
-        - 0.01168 * np.cos(6 * np.pi * x / (n - 1))
+        - 0.48829 * np.cos(2 * np.pi * wpos / (n - 1))
+        + 0.14128 * np.cos(4 * np.pi * wpos / (n - 1))
+        - 0.01168 * np.cos(6 * np.pi * wpos / (n - 1))
     )
-    return w
 
+
+def _exact_filter(frac: float, cutoff: float) -> np.ndarray:
+    """Exact windowed-sinc for one fractional delay, unity DC gain."""
+    j = np.arange(SINC_LEN, dtype=np.float64)
+    x = (j - (SINC_LEN // 2 - 1)) - frac
+    h = cutoff * np.sinc(cutoff * x) * _window_at(x)
+    return h / h.sum()
+
+
+@lru_cache(maxsize=16)
+def polyphase_kernel(from_sr: int, to_sr: int) -> tuple[np.ndarray, int, int]:
+    """Conv kernel [L, 1, K] for the polyphase formulation + (L, M).
+
+    Row p holds phase p's exact 256-tap filter placed at offset
+    floor(p*M/L) within the K = (M-1) + SINC_LEN window."""
+    g = math.gcd(from_sr, to_sr)
+    L, M = to_sr // g, from_sr // g
+    ratio = to_sr / from_sr
+    cutoff = F_CUTOFF * min(1.0, ratio)
+    K = (M - 1) + SINC_LEN
+    w = np.zeros((L, 1, K), dtype=np.float64)
+    for p in range(L):
+        off = (p * M) // L
+        frac = (p * M % L) / L
+        w[p, 0, off : off + SINC_LEN] = _exact_filter(frac, cutoff)
+    return w.astype(np.float32), L, M
+
+
+@partial(jax.jit, static_argnames=("from_sr", "to_sr", "n_out"))
+def _polyphase_jit(
+    x: jnp.ndarray, from_sr: int, to_sr: int, n_out: int
+) -> jnp.ndarray:
+    """x [N, C] -> [n_out, C] as ONE matmul on the MXU.
+
+    Row q of the window matrix X[q] = xpad[q*M : q*M + K] is built with
+    ceil(K/M) shifted reshapes (pure layout ops, no gather); the resample
+    is then X[Q, K] @ W[K, L] -> out[Q, L] -> flatten phases."""
+    w, L, M = polyphase_kernel(from_sr, to_sr)
+    n = x.shape[0]
+    c = x.shape[1]
+    q = -(-n_out // L)  # output rows
+    half = SINC_LEN // 2
+    k = w.shape[2]
+    lead = half - 1
+    n_slabs = -(-k // M)
+    need = (q - 1) * M + n_slabs * M  # room for the slab construction
+    trail = max(0, need - lead - n)
+    xp = jnp.pad(x, ((lead, trail), (0, 0)))  # [W, C]
+    slabs = [
+        jax.lax.dynamic_slice_in_dim(xp, s * M, q * M, axis=0).reshape(q, M, c)
+        for s in range(n_slabs)
+    ]
+    X = jnp.concatenate(slabs, axis=1)[:, :k, :]  # [Q, K, C]
+    W = jnp.asarray(w[:, 0, :].T)  # [K, L]
+    # Precision.HIGHEST: the default matmul precision feeds the MXU bf16
+    # inputs, which is far too coarse for a 256-tap reconstruction filter
+    # (~1e-3 error). HIGHEST uses 6-pass bf16 (f32-equivalent) on TPU.
+    out = jnp.einsum(
+        "qkc,kl->qlc", X, W, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, L, C]
+    return out.reshape(q * L, c)[:n_out]
+
+
+# ---------------------------------------------------------------------------
+# gather fallback (irrational-ish ratios): oversampled bank, rubato-style
+# ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
 def filter_bank(ratio_key: tuple[int, int]) -> np.ndarray:
-    """Oversampled windowed-sinc bank [OVERSAMPLE+1, SINC_LEN] float32.
-
-    Phase p's filter is the sinc centered at (SINC_LEN/2 - 1 + p/OVERSAMPLE)
-    so that output position = int_pos + frac maps to a window starting at
-    int_pos - (SINC_LEN/2 - 1).
-    """
     from_sr, to_sr = ratio_key
-    ratio = to_sr / from_sr
-    cutoff = F_CUTOFF * min(1.0, ratio)
-    half = SINC_LEN // 2
+    cutoff = F_CUTOFF * min(1.0, to_sr / from_sr)
     bank = np.zeros((OVERSAMPLE + 1, SINC_LEN), dtype=np.float64)
-    j = np.arange(SINC_LEN, dtype=np.float64)
     for p in range(OVERSAMPLE + 1):
-        frac = p / OVERSAMPLE
-        # tap j aligns with input offset (j - (half - 1)); the sample point
-        # sits `frac` after int_pos, so the sinc argument is:
-        x = (j - (half - 1)) - frac
-        h = cutoff * np.sinc(cutoff * x)
-        # window centered on the sample point
-        wpos = (x / SINC_LEN + 0.5) * (SINC_LEN - 1)
-        wpos = np.clip(wpos, 0, SINC_LEN - 1)
-        win = _bh_at(wpos)
-        bank[p] = h * win
-    # normalize each phase to unity DC gain so constant signals pass through
-    bank /= bank.sum(axis=1, keepdims=True)
+        bank[p] = _exact_filter(p / OVERSAMPLE, cutoff)
     return bank.astype(np.float32)
 
 
-def _bh_at(x: np.ndarray) -> np.ndarray:
-    """Blackman-Harris window evaluated at fractional positions x in
-    [0, SINC_LEN-1]."""
-    n = SINC_LEN
-    return (
-        0.35875
-        - 0.48829 * np.cos(2 * np.pi * x / (n - 1))
-        + 0.14128 * np.cos(4 * np.pi * x / (n - 1))
-        - 0.01168 * np.cos(6 * np.pi * x / (n - 1))
-    )
-
-
 @partial(jax.jit, static_argnames=("n_out", "from_sr", "to_sr"))
-def _resample_jit(
+def _gather_jit(
     xpad: jnp.ndarray, bank: jnp.ndarray, n_out: int, from_sr: int, to_sr: int
 ) -> jnp.ndarray:
-    """xpad: [N + SINC_LEN, C] zero-padded input (SINC_LEN/2-1 leading).
-    Returns [n_out_padded, C]; caller trims to n_out."""
-    half = SINC_LEN // 2
     n_tiles = -(-n_out // _TILE)
     c = xpad.shape[1]
 
     def tile_fn(tile_idx):
-        n = tile_idx * _TILE + jnp.arange(_TILE)  # output indices [T]
-        # input position in exact rational arithmetic: pos = n * from / to
+        n = tile_idx * _TILE + jnp.arange(_TILE)
         num = n * from_sr
         int_pos = num // to_sr
         frac = (num % to_sr).astype(jnp.float32) / jnp.float32(to_sr)
-        # window start in padded coordinates:
-        # unpadded start = int_pos - (half - 1); pad shift = half - 1
-        start = int_pos  # [T]
-        idx = start[:, None] + jnp.arange(SINC_LEN)[None, :]  # [T, taps]
+        idx = int_pos[:, None] + jnp.arange(SINC_LEN)[None, :]
         idx = jnp.clip(idx, 0, xpad.shape[0] - 1)
         windows = xpad[idx]  # [T, taps, C]
         pf = frac * OVERSAMPLE
         p0 = jnp.floor(pf).astype(jnp.int32)
         w = (pf - p0.astype(jnp.float32))[:, None]
-        filt = bank[p0] * (1.0 - w) + bank[p0 + 1] * w  # [T, taps]
+        filt = bank[p0] * (1.0 - w) + bank[p0 + 1] * w
         return jnp.einsum(
-            "tjc,tj->tc", windows, filt, preferred_element_type=jnp.float32
+            "tjc,tj->tc", windows, filt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     tiles = jax.lax.map(tile_fn, jnp.arange(n_tiles))
     return tiles.reshape(n_tiles * _TILE, c)
 
 
-def resample_sample(x: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
-    """Resample [N, C] float32 from from_sr to to_sr. Host in/out."""
-    x = np.asarray(x, dtype=np.float32)
-    if from_sr == to_sr:
-        return x
-    n = x.shape[0]
-    n_out = math.ceil(n * to_sr / from_sr)
-    half = SINC_LEN // 2
-    xpad = np.zeros((n + SINC_LEN, x.shape[1]), dtype=np.float32)
-    xpad[half - 1 : half - 1 + n] = x
-    bank = jnp.asarray(filter_bank((from_sr, to_sr)))
-    out = _resample_jit(jnp.asarray(xpad), bank, n_out, from_sr, to_sr)
-    return np.asarray(out[:n_out])
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _n_out(n: int, from_sr: int, to_sr: int) -> int:
+    return math.ceil(n * to_sr / from_sr)
 
 
-def resample_device(
-    x: jnp.ndarray, from_sr: int, to_sr: int
-) -> jnp.ndarray:
-    """Device-resident variant for the render path: [N, C] -> [M, C]."""
+def resample_device(x: jnp.ndarray, from_sr: int, to_sr: int) -> jnp.ndarray:
+    """Device-resident resample: [N, C] -> [ceil(N*to/from), C]."""
     if from_sr == to_sr:
         return x
-    n = x.shape[0]
-    n_out = math.ceil(n * to_sr / from_sr)
+    n_out = _n_out(x.shape[0], from_sr, to_sr)
+    g = math.gcd(from_sr, to_sr)
+    if to_sr // g <= MAX_PHASES:
+        return _polyphase_jit(x, from_sr, to_sr, n_out)
     half = SINC_LEN // 2
+    n = x.shape[0]
     xpad = jnp.zeros((n + SINC_LEN, x.shape[1]), jnp.float32)
     xpad = xpad.at[half - 1 : half - 1 + n].set(x)
     bank = jnp.asarray(filter_bank((from_sr, to_sr)))
-    out = _resample_jit(xpad, bank, n_out, from_sr, to_sr)
-    return out[:n_out]
+    return _gather_jit(xpad, bank, n_out, from_sr, to_sr)[:n_out]
+
+
+def resample_sample(x: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
+    """Host in/out wrapper (sample-import path, reference sample.rs:305-310)."""
+    x = np.asarray(x, dtype=np.float32)
+    if from_sr == to_sr:
+        return x
+    return np.asarray(resample_device(jnp.asarray(x), from_sr, to_sr))

@@ -8,6 +8,7 @@ and tiles onto the VPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..graph.bake import SENTINEL
@@ -15,10 +16,17 @@ from ..graph.bake import SENTINEL
 
 def sample_loop(sample: jnp.ndarray, frames: jnp.ndarray) -> jnp.ndarray:
     """Loop the bank sample with modulo indexing (extensions.rs:331-341).
-    sample [L, 2], frames [T] int32 -> [T, 2]."""
+    sample [L, 2], frames [T] int32 -> [T, 2].
+
+    Formulated gather-free for TPU: tile the sample to cover T+L frames
+    (pure bandwidth) and dynamic-slice at frames[0] mod L — frames are
+    always contiguous within a window."""
     L = sample.shape[0]
-    pos = jnp.mod(frames, L)
-    return sample[pos]
+    T = frames.shape[0]
+    reps = -(-(T + L) // L)
+    tiled = jnp.tile(sample, (reps, 1))
+    start = jnp.mod(frames[0], L)
+    return jax.lax.dynamic_slice(tiled, (start, 0), (T, 2))
 
 
 def sample_multi(

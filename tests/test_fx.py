@@ -1,0 +1,168 @@
+"""Native effect suite tests: sanity, parameter plumbing, and exact
+cross-window state chaining (delay tails, scan carries)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from termdaw_tpu.engine.plugins import PluginHost, AddPluginError
+from termdaw_tpu.ops.fx import (
+    EFFECTS, resolve_uri, resolve_param, feedback_line, max_decay_scan,
+)
+
+SR = 8000
+
+
+def a(x):
+    return np.asarray(x)
+
+
+def process(kind, x, params=None, state=None, sr=SR):
+    eff = EFFECTS[kind]
+    p = dict(eff.defaults)
+    if params:
+        p.update(params)
+    p = {k: jnp.float32(v) for k, v in p.items()}
+    st = state if state is not None else eff.init_state(sr)
+    fn = jax.jit(lambda x, st, p: eff.process(x, st, p, sr))
+    return fn(jnp.asarray(x), st, p)
+
+
+class TestBuildingBlocks:
+    def test_feedback_line_matches_sequential(self, rng):
+        x = rng.normal(size=(300, 2)).astype(np.float32)
+        D, g = 37, 0.7
+        y, tail = jax.jit(
+            lambda x, t: feedback_line(x, t, g, D)
+        )(jnp.asarray(x), jnp.zeros((D, 2), jnp.float32))
+        # sequential oracle
+        exp = np.zeros_like(x, dtype=np.float64)
+        for t in range(len(x)):
+            prev = exp[t - D] if t >= D else 0.0
+            exp[t] = x[t] + g * prev
+        np.testing.assert_allclose(a(y), exp, atol=1e-4)
+        np.testing.assert_allclose(a(tail), exp[-D:], atol=1e-4)
+
+    def test_feedback_line_chains_across_windows(self, rng):
+        x = rng.normal(size=(256, 2)).astype(np.float32)
+        D, g = 31, 0.6
+        f = jax.jit(lambda x, t: feedback_line(x, t, g, D))
+        full, _ = f(jnp.asarray(x), jnp.zeros((D, 2), jnp.float32))
+        tail = jnp.zeros((D, 2), jnp.float32)
+        parts = []
+        for i in range(0, 256, 64):
+            y, tail = f(jnp.asarray(x[i : i + 64]), tail)
+            parts.append(a(y))
+        np.testing.assert_allclose(np.concatenate(parts), a(full), atol=1e-4)
+
+    def test_max_decay_scan(self, rng):
+        x = np.abs(rng.normal(size=(200, 1))).astype(np.float32)
+        r = 0.95
+        y = a(jax.jit(lambda x: max_decay_scan(x, r, jnp.zeros(1)))(
+            jnp.asarray(x)))
+        exp = np.zeros_like(x)
+        prev = 0.0
+        for t in range(len(x)):
+            prev = max(x[t, 0], r * prev)
+            exp[t, 0] = prev
+        np.testing.assert_allclose(y, exp, atol=1e-5)
+
+
+class TestEffects:
+    def test_reverb_tail_rings(self):
+        x = np.zeros((SR, 2), np.float32)
+        x[0] = 1.0  # impulse
+        y, _ = process("reverb", x)
+        y = a(y)
+        # energy must persist well after the impulse (a tail)
+        assert np.max(np.abs(y[SR // 2 :])) > 1e-4
+        assert np.all(np.isfinite(y))
+
+    def test_reverb_chains_across_windows(self, rng):
+        x = rng.normal(size=(1024, 2)).astype(np.float32) * 0.2
+        full, _ = process("reverb", x)
+        eff = EFFECTS["reverb"]
+        st = eff.init_state(SR)
+        p = {k: jnp.float32(v) for k, v in eff.defaults.items()}
+        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR))
+        parts = []
+        for i in range(0, 1024, 256):
+            y, st = fn(jnp.asarray(x[i : i + 256]), st)
+            parts.append(a(y))
+        np.testing.assert_allclose(
+            np.concatenate(parts), a(full), atol=1e-4
+        )
+
+    def test_compressor_reduces_loud(self):
+        t = np.arange(SR) / SR
+        x = np.stack([np.sin(2 * np.pi * 100 * t)] * 2, 1).astype(np.float32)
+        y, _ = process(
+            "compressor", x,
+            {"threshold": -20.0, "ratio": 10.0, "attack": 1.0,
+             "release": 50.0, "knee": 0.0},
+        )
+        # steady state: 0 dBFS input with -20dB threshold, ratio 10
+        # -> output ~ -18 dB
+        rms_in = np.sqrt(np.mean(x[SR // 2 :, 0] ** 2))
+        rms_out = np.sqrt(np.mean(a(y)[SR // 2 :, 0] ** 2))
+        assert rms_out < rms_in * 0.25
+
+    def test_chorus_modulates(self):
+        t = np.arange(SR // 2) / SR
+        x = np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1).astype(np.float32)
+        y, _ = process("chorus", x, {"rate": 2.0, "depth": 5.0})
+        y = a(y)
+        assert np.all(np.isfinite(y))
+        # output differs from input (modulated delays)
+        assert np.max(np.abs(y[1000:] - x[1000:])) > 0.05
+
+    def test_tape_saturates(self):
+        x = np.full((1000, 2), 0.95, np.float32)
+        y, _ = process("tape", x, {"drive": 5.0})
+        assert np.max(a(y)) <= 1.0 + 1e-5
+
+    def test_delay_echoes(self):
+        x = np.zeros((SR, 2), np.float32)
+        x[100] = 1.0
+        y, _ = process("delay", x, {"time": 125.0, "feedback": 0.5})
+        y = a(y)
+        d = int(0.125 * SR)
+        assert abs(y[100 + d, 0]) > 0.4   # first echo
+        assert abs(y[100 + 2 * d, 0]) > 0.2  # second echo
+
+    def test_bitcrush(self):
+        x = np.linspace(-1, 1, 100, dtype=np.float32)[:, None].repeat(2, 1)
+        y, _ = process("bitcrush", x, {"bits": 3.0})
+        assert len(np.unique(a(y)[:, 0])) <= 9
+
+
+class TestPluginHost:
+    def test_uri_resolution(self):
+        assert resolve_uri("http://calf.sourceforge.net/plugins/Reverb").kind \
+            == "reverb"
+        assert resolve_uri("http://x/MultiChorus").kind == "chorus"
+        assert resolve_uri("native:tape").kind == "tape"
+        assert resolve_uri("http://unknown/Flanger") is None
+
+    def test_param_aliases(self):
+        assert resolve_param("Attack") == "attack"
+        assert resolve_param("Room Size") == "room"
+        assert resolve_param("nonsense") is None
+
+    def test_host_lifecycle(self, capsys):
+        h = PluginHost()
+        h.add_plugin("native:compressor", "c")
+        h.set_value("c", "Ratio", 8.0)
+        assert h.param_values(h.get_index("c"))["ratio"] == 8.0
+        h.reset_value("c", "Ratio")
+        assert h.param_values(h.get_index("c"))["ratio"] == 4.0
+        with pytest.raises(AddPluginError):
+            h.add_plugin("native:compressor", "c")  # dup name
+        with pytest.raises(AddPluginError):
+            h.add_plugin("http://unknown/Thing", "x")
+        h.set_value("c", "NoSuchParam", 1.0)
+        assert "has no parameter" in capsys.readouterr().out
+        h.remove_plugin("c")
+        assert h.get_index("c") is None
