@@ -40,6 +40,7 @@ from ..lua import LuaRuntime, LuaError, LuaTable
 from ..ops.adsr import build_adsr_conf
 from .plugins import PluginHost, AddPluginError
 from ..utils.term import DEFAULT, BLUE, YELLOW, RED, GREEN
+from ..utils.prof import span, device_trace
 
 # blocks per device call when rendering long timelines (bounds peak memory
 # AND compile time; windows chain exactly through carried state)
@@ -112,7 +113,8 @@ class State:
     def refresh(self) -> None:
         self.loaded = False
         try:
-            self._refresh_inner()
+            with span("refresh"):
+                self._refresh_inner()
         except RefreshAbort:
             return
 
@@ -522,21 +524,24 @@ class State:
 
         windows = []
         left = self.cs
-        while left > 0:
-            nb = min(left, RENDER_WINDOW_BLOCKS)
-            windows.append(cg.render_window(self.fb, nb))
-            self.fb.advance_blocks(nb)
-            left -= nb
+        with span("render windows"), device_trace("render"):
+            while left > 0:
+                nb = min(left, RENDER_WINDOW_BLOCKS)
+                windows.append(cg.render_window(self.fb, nb))
+                self.fb.advance_blocks(nb)
+                left -= nb
 
         writer = WavWriter(self.output_file, 2, self.render_sr, self.bd)
         if windows:
             # one fused device call: concat -> (resample) -> quantize, then a
             # single device->host fetch (syncs over the TPU tunnel are ~30 ms
             # each; transfers dominate the steady-state render time)
-            ints = np.asarray(
-                _finish_render(tuple(windows), psr, self.render_sr, self.bd)
-            )
-            writer.write_ints(ints)
+            with span("render tail+fetch"):
+                ints = np.asarray(
+                    _finish_render(tuple(windows), psr, self.render_sr, self.bd)
+                )
+            with span("wav write"):
+                writer.write_ints(ints)
         writer.close()
         cg.set_time(0)
         print(f"{GREEN}Ok: done rendering.{DEFAULT}")

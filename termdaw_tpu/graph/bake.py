@@ -42,22 +42,41 @@ def block_table(
 ) -> np.ndarray:
     """Map instances with [start, end) frame spans to a per-block index
     table [nb, P] (int32, -1 = empty). P is padded to a power of two so jit
-    cache keys stay stable across bakes."""
-    per_block: list[list[int]] = [[] for _ in range(nb)]
+    cache keys stay stable across bakes.
+
+    Fully vectorized (long-release synth notes can span hundreds of blocks
+    each; a per-block Python loop dominated render time)."""
+    n = len(starts)
+    if n == 0:
+        return np.full((nb, 1), -1, np.int32)
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
     t1 = t0 + nb * bl
-    for i in range(len(starts)):
-        s, e = int(starts[i]), int(ends[i])
-        if e <= t0 or s >= t1:
-            continue
-        k0 = max(0, (s - t0) // bl)
-        k1 = min(nb, -(-(min(e, t1) - t0) // bl))
-        for k in range(k0, k1):
-            per_block[k].append(i)
-    pmax = max((len(b) for b in per_block), default=0)
+    k0 = np.maximum(0, (starts - t0) // bl)
+    k1 = np.minimum(nb, -(-(np.minimum(ends, t1) - t0) // bl))
+    live = (ends > t0) & (starts < t1) & (k1 > k0)
+    ids = np.nonzero(live)[0]
+    if len(ids) == 0:
+        return np.full((nb, 1), -1, np.int32)
+    k0 = k0[ids].astype(np.int64)
+    k1 = k1[ids].astype(np.int64)
+    spans = (k1 - k0).astype(np.int64)
+    total = int(spans.sum())
+    # flat (block, instance) pairs: repeat instance ids over their spans and
+    # build the per-pair block index with a segmented arange
+    inst_flat = np.repeat(ids, spans)
+    seg_off = np.repeat(np.cumsum(spans) - spans, spans)
+    block_flat = np.repeat(k0, spans) + (np.arange(total) - seg_off)
+    # slot within block: stable order by block
+    order = np.argsort(block_flat, kind="stable")
+    block_sorted = block_flat[order]
+    inst_sorted = inst_flat[order]
+    first_of_block = np.searchsorted(block_sorted, block_sorted)
+    slot = np.arange(total) - first_of_block
+    pmax = int(slot.max()) + 1 if total else 0
     p = _pad_pow2(max(pmax, 1))
     idx = np.full((nb, p), -1, np.int32)
-    for k, items in enumerate(per_block):
-        idx[k, : len(items)] = items
+    idx[block_sorted, slot] = inst_sorted.astype(np.int32)
     return idx
 
 

@@ -41,6 +41,44 @@ from ..ops.adsr import AdsrConf
 from ..ops.filters import BandPassState
 
 
+def _pack_bakes(bakes: dict[str, dict[str, np.ndarray]]):
+    """Pack every bake array into one int32 + one float32 buffer.
+
+    Each host->device upload pays a fixed dispatch/transfer round-trip on
+    the TPU tunnel (~tens of ms measured); a full-graph render window was
+    shipping ~40 small tables. Two buffers + a static slicing layout keep
+    it at two. The layout (offsets/shapes) is static exactly when the jit
+    cache key is, so it rides the cache key."""
+    ints: list[np.ndarray] = []
+    floats: list[np.ndarray] = []
+    layout: list[tuple] = []
+    i_off = f_off = 0
+    for vkey in sorted(bakes):
+        for field in sorted(bakes[vkey]):
+            a = np.asarray(bakes[vkey][field])
+            if a.dtype in (np.int32, np.dtype(np.int32)):
+                layout.append((vkey, field, "i", i_off, a.shape))
+                ints.append(a.reshape(-1))
+                i_off += a.size
+            else:
+                layout.append((vkey, field, "f", f_off, a.shape))
+                floats.append(a.reshape(-1).astype(np.float32))
+                f_off += a.size
+    ints_buf = np.concatenate(ints) if ints else np.zeros(1, np.int32)
+    floats_buf = np.concatenate(floats) if floats else np.zeros(1, np.float32)
+    return ints_buf, floats_buf, tuple(layout)
+
+
+def _unpack_bakes(ints_buf, floats_buf, layout):
+    bakes: dict[str, dict[str, jnp.ndarray]] = {}
+    for vkey, field, kind, off, shape in layout:
+        size = int(np.prod(shape)) if shape else 1
+        buf = ints_buf if kind == "i" else floats_buf
+        arr = jax.lax.slice_in_dim(buf, off, off + size).reshape(shape)
+        bakes.setdefault(vkey, {})[field] = arr
+    return bakes
+
+
 @dataclass
 class _VertexStatic:
     """Per-vertex compile-time configuration resolved at build."""
@@ -271,33 +309,41 @@ class CompiledGraph:
         audio [nb*bl, 2]."""
         t0 = self.t
         bakes, new_carries = self._bake_all(fb, t0, nb)
+        ints_buf, floats_buf, layout = _pack_bakes(bakes)
+        fx_vec, fx_layout = self._pack_fx()
 
-        fx_params = {
-            str(vi): {
-                k: jnp.float32(v)
-                for k, v in self.plugin_host.param_values(
-                    self.statics[vi].fx_plugin_index
-                ).items()
-            }
-            for vi in self.order
-            if self.statics[vi].kind == G.PLUGINFX
-        }
-
-        fn = self._get_fn(nb, is_scan)
+        fn = self._get_fn(nb, is_scan, layout, fx_layout)
         new_state, audio = fn(
             self.num_state,
             (self._gains, self._angles, self._wets),
-            bakes,
+            ints_buf,
+            floats_buf,
+            fx_vec,
             tuple(self.samples),
             tuple(self.wavetables),
-            fx_params,
-            jnp.int32(t0),
+            np.int32(t0),
         )
         self.num_state = new_state
         self.carries.update(new_carries)
         self.t = t0 + nb * self.bl
         self.graph.t = self.t
         return audio
+
+    def _pack_fx(self) -> tuple[np.ndarray, tuple]:
+        """Effect parameters as one f32 vector + static layout."""
+        vals: list[float] = []
+        layout: list[tuple] = []
+        for vi in self.order:
+            if self.statics[vi].kind != G.PLUGINFX:
+                continue
+            pv = self.plugin_host.param_values(
+                self.statics[vi].fx_plugin_index
+            )
+            for name in sorted(pv):
+                layout.append((str(vi), name, len(vals)))
+                vals.append(float(pv[name]))
+        vec = np.asarray(vals, np.float32) if vals else np.zeros(1, np.float32)
+        return vec, tuple(layout)
 
     # -- sharded rendering (sequence parallelism over the timeline) ---------
     def render_window_sharded(
@@ -413,17 +459,27 @@ class CompiledGraph:
                     tbl, nc = B.bake_adsr_drum(drum, carry, t0, nb, self.bl)
             else:  # pragma: no cover
                 continue
-            bakes[key] = {k: jnp.asarray(a) for k, a in tbl.items()}
+            bakes[key] = tbl  # numpy; upload happens packed (see _pack_bakes)
             new_carries[vi] = nc
         return bakes, new_carries
 
     # -- program construction -------------------------------------------------
-    def _get_fn(self, nb: int, is_scan: bool):
-        key = (nb, is_scan)
+    def _get_fn(self, nb: int, is_scan: bool, layout: tuple, fx_layout: tuple):
+        key = (nb, is_scan, layout, fx_layout)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                partial(self._program, nb=nb, is_scan=is_scan)
-            )
+
+            def packed(num_state, params, ints_buf, floats_buf, fx_vec,
+                       samples, wts, t0):
+                bakes = _unpack_bakes(ints_buf, floats_buf, layout)
+                fx_params: dict[str, dict] = {}
+                for vkey, name, pos in fx_layout:
+                    fx_params.setdefault(vkey, {})[name] = fx_vec[pos]
+                return self._program(
+                    num_state, params, bakes, samples, wts, fx_params, t0,
+                    nb=nb, is_scan=is_scan,
+                )
+
+            self._jit_cache[key] = jax.jit(packed)
         return self._jit_cache[key]
 
     def _program(

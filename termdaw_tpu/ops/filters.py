@@ -55,15 +55,66 @@ def _affine_combine(left, right):
     return a2 * a1, a2 * b1 + b2
 
 
-def first_order_scan(x: jnp.ndarray, a, y0: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate y[i] = a*y[i-1] + (1-a)... generic: y[i] = a*y[i-1] + b[i]
-    where b = (1-a)*x ... callers pass b directly via x already scaled.
+_SCAN_TILE = 1024
 
-    Here: x is B [T, C]; a is A broadcastable [C]; y0 is [C].
-    Returns y [T, C]."""
-    T = x.shape[0]
+
+def tiled_cumulative(combine, identity, elems: tuple) -> tuple:
+    """Inclusive cumulative `combine` along axis 0, two-level.
+
+    A flat `associative_scan` over hundreds of thousands of frames produces
+    an enormous HLO graph (a band-pass over a 512-block window took ~4.5
+    minutes to compile on v5e). Tiling into [R, S] rows, scanning within
+    rows, scanning the R row summaries, and composing the exclusive row
+    prefix back in keeps both scans short — seconds-fast compiles, same
+    prefix. `identity` gives the monoid identity per element (used for tail
+    padding and the exclusive shift); combine composes (earlier, later).
+    """
+    T = elems[0].shape[0]
+    S = min(_SCAN_TILE, T)
+    R = -(-T // S)
+    pad = R * S - T
+
+    def pad_tail(e, ident):
+        if not pad:
+            return e
+        tail = jnp.broadcast_to(
+            jnp.asarray(ident, e.dtype), (pad,) + e.shape[1:]
+        )
+        return jnp.concatenate([e, tail], axis=0)
+
+    tiled = tuple(
+        pad_tail(e, idv).reshape((R, S) + e.shape[1:])
+        for e, idv in zip(elems, identity)
+    )
+    cum = jax.lax.associative_scan(combine, tiled, axis=1)
+    rows = tuple(c[:, -1] for c in cum)  # [R, ...]
+    prow = jax.lax.associative_scan(combine, rows, axis=0)
+    excl = tuple(
+        jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(idv, p.dtype), p[:1].shape),
+             p[:-1]],
+            axis=0,
+        )
+        for p, idv in zip(prow, identity)
+    )
+    # compose row-exclusive prefix (earlier) with within-row cum (later)
+    out = combine(tuple(e[:, None] for e in excl), cum)
+    flat = tuple(o.reshape((R * S,) + o.shape[2:])[:T] for o in out)
+    return flat
+
+
+def affine_cumulative(
+    A: jnp.ndarray, B: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cumulative composition of affine maps y -> A*y + B along axis 0."""
+    return tiled_cumulative(_affine_combine, (1.0, 0.0), (A, B))
+
+
+def first_order_scan(x: jnp.ndarray, a, y0: jnp.ndarray) -> jnp.ndarray:
+    """y[i] = a*y[i-1] + b[i] with b given in `x` [T, C]; a broadcastable
+    [C]; y0 [C]. Returns y [T, C]."""
     A = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
-    A_cum, B_cum = jax.lax.associative_scan(_affine_combine, (A, x), axis=0)
+    A_cum, B_cum = affine_cumulative(A, x)
     return A_cum * y0 + B_cum
 
 
@@ -112,7 +163,7 @@ def band_pass_timeline(
     b = g * xin
 
     A = jnp.broadcast_to(a, b.shape)
-    A_cum, B_cum = jax.lax.associative_scan(_affine_combine, (A, b), axis=0)
+    A_cum, B_cum = affine_cumulative(A, b)
     if axis_name is None:
         y = A_cum * y0 + B_cum
         final = y[-1]

@@ -57,9 +57,15 @@ def _maxdecay_combine(left, right):
 
 
 def max_decay_scan(x: jnp.ndarray, r, y0) -> jnp.ndarray:
-    """y[t] = max(x[t], r * y[t-1]) over axis 0 (peak envelope follower)."""
+    """y[t] = max(x[t], r * y[t-1]) over axis 0 (peak envelope follower).
+    Tiled two-level scan (compile-time, see filters.tiled_cumulative);
+    identity = (1, -inf) for the (decay, value) monoid."""
+    from .filters import tiled_cumulative
+
     A = jnp.broadcast_to(jnp.asarray(r, jnp.float32), x.shape)
-    A_cum, B_cum = jax.lax.associative_scan(_maxdecay_combine, (A, x), axis=0)
+    A_cum, B_cum = tiled_cumulative(
+        _maxdecay_combine, (1.0, -3.0e38), (A, x)
+    )
     return jnp.maximum(B_cum, A_cum * y0)
 
 

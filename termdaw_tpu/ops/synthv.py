@@ -154,9 +154,8 @@ def sampsyn(
     hz = osc.note_hz(note)[:, None, :]  # [nb, 1, P]
     n = (fb - on_b).astype(jnp.uint32)  # frames since on
     cyc = hz / jnp.float32(sr)
-    c_fix = (cyc * jnp.float32(2.0**32)).astype(jnp.float32)
-    c_fix_u = c_fix.astype(jnp.uint32) | jnp.uint32(0)  # truncate
-    phase_fix = n * jnp.broadcast_to(c_fix_u, n.shape)  # uint32 wraps = mod 2^32
+    c_fix = (cyc * jnp.float32(2.0**32)).astype(jnp.uint32)
+    phase_fix = n * jnp.broadcast_to(c_fix, n.shape)  # uint32 wraps = mod 2^32
     phase = phase_fix.astype(jnp.float32) * jnp.float32(W / 2.0**32)  # [0, W)
     p0 = jnp.floor(phase).astype(jnp.int32)
     frac = phase - p0.astype(jnp.float32)
@@ -164,9 +163,14 @@ def sampsyn(
     p1 = jnp.mod(p0 + 1, W)
     fracf = frac.reshape(-1)
 
-    w0 = table_waves[k, p0] * (1 - fracf) + table_waves[k, p1] * fracf
+    # flat-index gathers (1-D gathers lower far better than 2-D fancy
+    # indexing on this backend)
+    tw = table_waves.reshape(-1)  # [K*W]
+    base0 = k * W
+    w0 = tw[base0 + p0] * (1 - fracf) + tw[base0 + p1] * fracf
     if K > 1:
-        w1 = table_waves[k + 1, p0] * (1 - fracf) + table_waves[k + 1, p1] * fracf
+        base1 = base0 + W
+        w1 = tw[base1 + p0] * (1 - fracf) + tw[base1 + p1] * fracf
         wave = w0 * (1 - blend) + w1 * blend
     else:
         wave = w0
