@@ -52,6 +52,12 @@ class Player:
             self.state.compiled.set_time(t_frames)
         self.state.fb.set_time(t_frames)
 
+    # window sizes for catch-up batching: a deficit of many blocks renders
+    # in one device call (each call costs a fixed sync round-trip on the
+    # TPU tunnel, so block-at-a-time rendering can't keep up at 48kHz);
+    # powers of two keep the jit cache small
+    _WINDOWS = (16, 8, 4, 2, 1)
+
     def tick(self) -> None:
         """Render as many blocks as wall-clock pacing demands."""
         if not self.playing:
@@ -60,14 +66,18 @@ class Player:
             self.playing = False
             return
         cg = self.state.compiled
-        elapsed_ms = (time.monotonic() - self.since) * 1000.0
-        while elapsed_ms > self.millis_generated - 0.5:
+        block_ms = self.buffer_len / self.proj_sr * 1000.0
+        while True:
+            elapsed_ms = (time.monotonic() - self.since) * 1000.0
+            deficit_ms = elapsed_ms - (self.millis_generated - 0.5)
+            if deficit_ms <= 0:
+                break
+            want = max(1, int(deficit_ms / block_ms) + 1)
+            nb = next(w for w in self._WINDOWS if w <= want)
             if self.resync_fb_each_block:
                 self.state.fb.set_time(cg.get_time())
-            audio = cg.render_window(self.state.fb, 1)
-            self.state.fb.set_time_to_next_block()
-            chunk = np.asarray(audio)  # [bl, 2]
+            audio = cg.render_window(self.state.fb, nb)
+            self.state.fb.advance_blocks(nb)
+            chunk = np.asarray(audio)  # [nb*bl, 2]
             self.sink.queue_audio(chunk.reshape(-1))
-            self.millis_generated += (
-                self.buffer_len / self.proj_sr * 1000.0
-            )
+            self.millis_generated += nb * block_ms
