@@ -123,8 +123,15 @@ class CompiledGraph:
 
         # device-resident constants
         self.samples: list[jnp.ndarray] = []
+        self.samples_padded: dict[int, jnp.ndarray] = {}  # pos -> [2, L+2bl]
         sample_pos: dict[int, int] = {}
         self.wavetables: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        import os as _os
+
+        self.use_pallas = (
+            jax.default_backend() == "tpu"
+            and _os.environ.get("TERMDAW_PALLAS", "1") == "1"
+        )
 
         self.statics: dict[int, _VertexStatic] = {}
         for vi in self.order:
@@ -139,6 +146,14 @@ class CompiledGraph:
                     self.samples.append(jnp.asarray(arr))
                 st.sample_pos = sample_pos[si]
                 st.sample_len = len(sample_bank.get_sample(si))
+                if v.kind == G.SAMPLEMULTI and st.sample_pos not in (
+                    self.samples_padded
+                ):
+                    from ..ops.pallas_voices import make_padded_sample
+
+                    self.samples_padded[st.sample_pos] = make_padded_sample(
+                        self.samples[st.sample_pos], bl
+                    )
             if v.kind in (
                 G.SAMPLEMULTI, G.SAMPLELERP, G.DEBUGSINE, G.SYNTH,
                 G.SAMPSYN, G.ADSR,
@@ -527,9 +542,22 @@ class CompiledGraph:
             elif kind == G.SAMPLELOOP:
                 out = sampler.sample_loop(samples[st.sample_pos], frames)
             elif kind == G.SAMPLEMULTI:
-                out = sampler.sample_multi(
-                    samples[st.sample_pos], bakes[key], frames, nb, bl
-                )
+                if self.use_pallas and axis_name is None:
+                    from ..ops.pallas_voices import (
+                        compute_begin_vel, sample_multi_pallas,
+                    )
+
+                    begins, vvels = compute_begin_vel(
+                        bakes[key], frames[0], nb, bl, st.sample_len
+                    )
+                    out = sample_multi_pallas(
+                        self.samples_padded[st.sample_pos], begins, vvels,
+                        nb, bl,
+                    )
+                else:
+                    out = sampler.sample_multi(
+                        samples[st.sample_pos], bakes[key], frames, nb, bl
+                    )
             elif kind == G.SAMPLELERP:
                 out = sampler.sample_lerp(
                     samples[st.sample_pos], bakes[key], frames, st.lerp_len
