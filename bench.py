@@ -100,6 +100,36 @@ def main() -> None:
     extra["headline_p50_ms"] = round(p50 * 1e3, 2)
     extra["headline_compile_s"] = round(compile_s, 1)
 
+    # device-only render rate (excludes the PCM fetch + WAV write — the
+    # steady-state end-to-end time is bound by shipping the finished audio
+    # over this environment's TPU tunnel, not by the chip)
+    from termdaw_tpu.engine.state import _finish_render
+
+    def device_render():
+        st.fb.set_time(st.compiled.get_time())
+        wins = []
+        left = st.cs
+        while left > 0:
+            nb = min(left, state_mod.RENDER_WINDOW_BLOCKS)
+            wins.append(st.compiled.render_window(st.fb, nb))
+            st.fb.advance_blocks(nb)
+            left -= nb
+        out = _finish_render(tuple(wins), sr, 44100, 16)
+        out.block_until_ready()
+        st.compiled.set_time(0)
+
+    device_render()
+    dev_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        device_render()
+        dev_times.append(time.perf_counter() - t0)
+    dev_p50 = statistics.median(dev_times)
+    extra["device_only_p50_ms"] = round(dev_p50 * 1e3, 2)
+    extra["device_only_xrt"] = round(length_sec / dev_p50, 1)
+    log(f"device-only: p50 {dev_p50*1e3:.1f} ms -> "
+        f"{length_sec/dev_p50:.0f}x RT")
+
     # config 2: full demo graph (all vertex kinds + native fx chain)
     try:
         from termdaw_tpu.utils.fixtures import build_demo_project

@@ -20,16 +20,22 @@ class LuaError(RuntimeError):
 
 
 class LuaTable:
-    """A Lua table: contiguous 1-based array part + hash part."""
+    """A Lua table: contiguous 1-based array part + hash part + metatable."""
 
-    __slots__ = ("hash",)
+    __slots__ = ("hash", "metatable")
 
     def __init__(self):
         self.hash: dict = {}
+        self.metatable: "LuaTable | None" = None
 
     def get(self, key):
         key = _normalize_key(key)
         return self.hash.get(key)
+
+    def get_meta(self, event: str):
+        if self.metatable is None:
+            return None
+        return self.metatable.hash.get(event)
 
     def set(self, key, value):
         key = _normalize_key(key)
@@ -388,8 +394,40 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         n = int(n)
         return args[n - 1 :]
 
+    def _setmetatable(t, mt):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument to 'setmetatable' (table expected)")
+        if mt is not None and not isinstance(mt, LuaTable):
+            raise LuaError("bad argument #2 to 'setmetatable'")
+        t.metatable = mt
+        return t
+
+    def _getmetatable(t):
+        return t.metatable if isinstance(t, LuaTable) else None
+
+    def _rawget(t, k):
+        return t.get(k)
+
+    def _rawset(t, k, v):
+        t.set(k, v)
+        return t
+
+    def _rawequal(a, b):
+        return a is b if isinstance(a, LuaTable) else _lua_eq(a, b)
+
+    def _rawlen(t):
+        if isinstance(t, str):
+            return len(t)
+        return t.length()
+
     return {
         "print": _print,
+        "setmetatable": _setmetatable,
+        "getmetatable": _getmetatable,
+        "rawget": _rawget,
+        "rawset": _rawset,
+        "rawequal": _rawequal,
+        "rawlen": _rawlen,
         "ipairs": _ipairs,
         "pairs": _pairs,
         "tostring": lua_tostring,
@@ -550,6 +588,27 @@ class LuaRuntime:
         else:  # pragma: no cover
             raise LuaError(f"unknown statement {op!r}")
 
+    def _index(self, obj, key):
+        """Table/string indexing with __index metamethod fallback."""
+        if isinstance(obj, LuaTable):
+            v = obj.get(key)
+            if v is not None:
+                return v
+            mi = obj.get_meta("__index")
+            if mi is None:
+                return None
+            if isinstance(mi, LuaTable):
+                return self._index(mi, key)
+            res = _call(mi, (obj, key))
+            if isinstance(res, tuple):
+                return res[0] if res else None
+            return res
+        if isinstance(obj, str):
+            strlib = self.globals.get("string")
+            if isinstance(strlib, LuaTable):
+                return strlib.get(key)
+        raise LuaError(f"attempt to index a {lua_type(obj)} value")
+
     def _assign(self, target, value, scope: Scope) -> None:
         if target[0] == "name":
             name = target[1]
@@ -563,6 +622,14 @@ class LuaRuntime:
             key = self._eval(target[2], scope)
             if not isinstance(obj, LuaTable):
                 raise LuaError(f"attempt to index a {lua_type(obj)} value")
+            if obj.get(key) is None:
+                mn = obj.get_meta("__newindex")
+                if mn is not None:
+                    if isinstance(mn, LuaTable):
+                        mn.set(key, value)
+                    else:
+                        _call(mn, (obj, key, value))
+                    return
             obj.set(key, value)
         else:  # pragma: no cover
             raise LuaError("invalid assignment target")
@@ -614,28 +681,19 @@ class LuaRuntime:
         if op == "index":
             obj = self._eval(expr[1], scope)
             key = self._eval(expr[2], scope)
-            if isinstance(obj, LuaTable):
-                return obj.get(key)
-            if isinstance(obj, str):
-                # string methods via string library
-                strlib = self.globals.get("string")
-                if isinstance(strlib, LuaTable):
-                    return strlib.get(key)
-            raise LuaError(f"attempt to index a {lua_type(obj)} value")
+            return self._index(obj, key)
         if op == "call":
             fn = self._eval(expr[1], scope)
             args = self._eval_list_multi(expr[2], scope)
+            if isinstance(fn, LuaTable):
+                meta_call = fn.get_meta("__call")
+                if meta_call is not None:
+                    return _call(meta_call, [fn] + args)
             return _call(fn, args)
         if op == "method":
             obj = self._eval(expr[1], scope)
             name = expr[2]
-            if isinstance(obj, LuaTable):
-                fn = obj.get(name)
-            elif isinstance(obj, str):
-                strlib = self.globals.get("string")
-                fn = strlib.get(name) if isinstance(strlib, LuaTable) else None
-            else:
-                raise LuaError(f"attempt to index a {lua_type(obj)} value")
+            fn = self._index(obj, name)
             args = self._eval_list_multi(expr[3], scope)
             return _call(fn, [obj] + args)
         if op == "vararg":

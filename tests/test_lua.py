@@ -190,3 +190,59 @@ def test_reference_example_scripts_parse():
         pytest.skip("reference not mounted")
     for script in scripts:
         run(script.read_text(), **api)
+
+
+def test_metatables_oop():
+    rt = run(
+        """
+        Voice = {}
+        Voice.__index = Voice
+        function Voice.new(pitch)
+            local self = setmetatable({}, Voice)
+            self.pitch = pitch
+            return self
+        end
+        function Voice:transpose(n)
+            self.pitch = self.pitch + n
+            return self
+        end
+        v = Voice.new(60)
+        v:transpose(7):transpose(-12)
+        p = v.pitch
+        mt = getmetatable(v) == Voice
+        """
+    )
+    assert rt.get_global("p") == 55
+    assert rt.get_global("mt") is True
+
+
+def test_index_function_and_newindex():
+    rt = run(
+        """
+        log = {}
+        t = setmetatable({}, {
+            __index = function(t, k) return k .. "!" end,
+            __newindex = function(t, k, v) table.insert(log, k) rawset(t, k, v * 2) end,
+        })
+        a = t.hello
+        t.x = 21
+        b = t.x
+        c = rawget(t, "x")
+        """
+    )
+    assert rt.get_global("a") == "hello!"
+    assert rt.get_global("b") == 42
+    assert rt.get_global("c") == 42
+    assert rt.get_global("log").array_items() == ["x"]
+
+
+def test_call_metamethod():
+    rt = run(
+        """
+        adder = setmetatable({base = 10}, {
+            __call = function(self, x) return self.base + x end
+        })
+        r = adder(5)
+        """
+    )
+    assert rt.get_global("r") == 15
