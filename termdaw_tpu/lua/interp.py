@@ -350,6 +350,19 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
     mathlib.set("maxinteger", 2**63 - 1)
     mathlib.set("mininteger", -(2**63))
 
+    from .patterns import (
+        lua_find, lua_match, lua_gmatch, lua_gsub, LuaPatternError,
+    )
+
+    def _wrap_pat(fn):
+        def inner(*a):
+            try:
+                return fn(*a)
+            except LuaPatternError as e:
+                raise LuaError(str(e)) from None
+
+        return inner
+
     stringlib = LuaTable()
     for name, fn in {
         "format": _sfmt,
@@ -361,7 +374,10 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         "byte": lambda s, i=1: ord(s[int(i) - 1]),
         "char": lambda *a: "".join(chr(int(x)) for x in a),
         "reverse": lambda s: s[::-1],
-        "find": lambda s, pat, init=1: _plain_find(s, pat, int(init)),
+        "find": _wrap_pat(lua_find),
+        "match": _wrap_pat(lua_match),
+        "gmatch": _wrap_pat(lua_gmatch),
+        "gsub": _wrap_pat(lua_gsub),
     }.items():
         stringlib.set(name, fn)
 
@@ -455,13 +471,6 @@ def _lua_random(m=None, n=None):
     if n is None:
         return _RNG.randint(1, int(m))
     return _RNG.randint(int(m), int(n))
-
-
-def _plain_find(s, pat, init=1):
-    idx = s.find(pat, init - 1)
-    if idx < 0:
-        return (None,)
-    return (idx + 1, idx + len(pat))
 
 
 class LuaRuntime:

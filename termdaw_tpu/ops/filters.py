@@ -201,3 +201,90 @@ def band_pass_timeline(
         first=jnp.where(skip, state.first, jnp.asarray(False)),
     )
     return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# biquads: true 2nd-order IIR sections as 2x2 matrix affine scans
+# ---------------------------------------------------------------------------
+
+def _mat_combine(left, right):
+    # Precision.HIGHEST: the default matmul path rounds inputs to bf16,
+    # which compounds across the prefix tree (~1e-3 error); see the same
+    # note in ops/resample.py
+    Ml, vl = left
+    Mr, vr = right
+    M = jnp.einsum("...ij,...jk->...ik", Mr, Ml,
+                   precision=jax.lax.Precision.HIGHEST)
+    v = jnp.einsum("...ij,...jc->...ic", Mr, vl,
+                   precision=jax.lax.Precision.HIGHEST) + vr
+    return M, v
+
+
+def biquad_coefs(kind: str, fc: float, sr: int, q: float = 0.7071067811865476):
+    """RBJ cookbook lowpass/highpass coefficients (b0,b1,b2,a1,a2),
+    normalized a0=1. Host-side floats."""
+    w0 = 2.0 * math.pi * fc / sr
+    cw, sw = math.cos(w0), math.sin(w0)
+    alpha = sw / (2.0 * q)
+    a0 = 1.0 + alpha
+    if kind == "lowpass":
+        b0 = (1.0 - cw) / 2.0
+        b1 = 1.0 - cw
+        b2 = b0
+    elif kind == "highpass":
+        b0 = (1.0 + cw) / 2.0
+        b1 = -(1.0 + cw)
+        b2 = b0
+    else:
+        raise ValueError(kind)
+    a1 = -2.0 * cw
+    a2 = 1.0 - alpha
+    return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
+
+
+def biquad_init_state(channels: int = 2) -> jnp.ndarray:
+    """[4, C]: (x[n-1], x[n-2], y[n-1], y[n-2])."""
+    return jnp.zeros((4, channels), jnp.float32)
+
+
+def biquad_apply(
+    x: jnp.ndarray, coefs: tuple, state: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct-form-1 biquad over a window [T, C]; exact cross-window state.
+
+    The feedback recurrence y[n] = f[n] - a1*y[n-1] - a2*y[n-2] (with the
+    feed-forward part f computed in parallel) is a constant-matrix linear
+    recurrence on s[n] = (y[n], y[n-1]) and runs as one tiled associative
+    scan of 2x2 affine maps.
+
+    Precision note: the parallel prefix of near-unit-circle 2x2 maps
+    accumulates ~1e-3 relative error in float32 over long windows — fine
+    for musical EQ/crossover use (the first-party effects), not for
+    parity-critical paths (which use the scalar one-pole scans).
+    """
+    b0, b1, b2, a1, a2 = [jnp.float32(c) for c in coefs]
+    T, C = x.shape
+    x1 = jnp.concatenate([state[0:1], x[:-1]], axis=0)
+    x2 = jnp.concatenate([state[1:2], x1[:-1]], axis=0) if T > 1 else \
+        jnp.broadcast_to(state[1:2], x.shape)
+    f = b0 * x + b1 * x1 + b2 * x2  # [T, C]
+
+    M = jnp.broadcast_to(
+        jnp.asarray([[-a1, -a2], [1.0, 0.0]], jnp.float32), (T, 2, 2)
+    )
+    v = jnp.stack([f, jnp.zeros_like(f)], axis=1)  # [T, 2, C]
+    import numpy as _np
+
+    ident = (
+        _np.eye(2, dtype=_np.float32),
+        _np.zeros((2, 1), _np.float32),
+    )
+    M_cum, v_cum = tiled_cumulative(_mat_combine, ident, (M, v))
+    s0 = jnp.stack([state[2], state[3]], axis=0)  # [2, C]
+    Ms0 = jnp.einsum("tij,jc->tic", M_cum, s0,
+                     precision=jax.lax.Precision.HIGHEST)
+    y = Ms0[:, 0] + v_cum[:, 0]
+    y_prev = Ms0[:, 1] + v_cum[:, 1]
+    new_state = jnp.stack([x[-1], x1[-1] if T > 1 else state[0],
+                           y[-1], y_prev[-1]], axis=0)
+    return y, new_state

@@ -28,6 +28,9 @@ Every effect is formulated timeline-parallel:
   compensation.
 * delay — feedback echo (single comb, same residue-class scan).
 * bitcrush — sample/bit decimation, elementwise.
+* eq3 — 3-band EQ over Linkwitz-Riley 4th-order tree crossovers built from
+  true biquads (2x2-matrix tiled scans, ops/filters.biquad_apply).
+* flanger — short LFO-modulated delay, gather-based.
 
 States are small device pytrees (delay tails + scan carries) so windowed
 playback chains exactly.
@@ -332,6 +335,81 @@ def _delay_process(x, state, params, sr):
 
 
 # ---------------------------------------------------------------------------
+# 3-band EQ (low/mid/high gains via two one-pole crossovers)
+# ---------------------------------------------------------------------------
+
+def _eq3_init(sr: int) -> dict:
+    # Linkwitz-Riley 4th-order tree crossover: LP/HP pair at f_lo on the
+    # input, then LP/HP pair at f_hi on the upper branch — 8 biquads
+    # (ops/filters.biquad_apply); in-phase band sums (allpass at 0 dB)
+    from .filters import biquad_init_state
+
+    return {f"bq{i}": biquad_init_state(2) for i in range(8)}
+
+
+def _eq3_process(x, state, params, sr):
+    """3-band EQ with Linkwitz-Riley 4th-order crossovers.
+
+    Crossover frequencies are bound at plugin load (static defaults unless
+    overridden by `parameter` before the refresh builds the graph) because
+    biquad coefficients are host-computed; gains stay fully traced."""
+    from .filters import biquad_apply, biquad_coefs
+
+    # static crossover frequencies (params arrive traced; coefficients need
+    # host floats — use the defaults; gains are the musical controls),
+    # clamped away from Nyquist where the biquad degenerates
+    f_lo = min(250.0, 0.2 * sr)
+    f_hi = min(4000.0, 0.35 * sr)
+    g_lo = jnp.power(10.0, params["low_gain"] / 20.0)
+    g_mid = jnp.power(10.0, params["mid_gain"] / 20.0)
+    g_hi = jnp.power(10.0, params["high_gain"] / 20.0)
+    lp_lo = biquad_coefs("lowpass", f_lo, sr)
+    hp_lo = biquad_coefs("highpass", f_lo, sr)
+    lp_hi = biquad_coefs("lowpass", f_hi, sr)
+    hp_hi = biquad_coefs("highpass", f_hi, sr)
+    t0, s0 = biquad_apply(x, lp_lo, state["bq0"])
+    low, s1 = biquad_apply(t0, lp_lo, state["bq1"])
+    t1, s2 = biquad_apply(x, hp_lo, state["bq2"])
+    upper, s3 = biquad_apply(t1, hp_lo, state["bq3"])
+    t2, s4 = biquad_apply(upper, lp_hi, state["bq4"])
+    mid, s5 = biquad_apply(t2, lp_hi, state["bq5"])
+    t3, s6 = biquad_apply(upper, hp_hi, state["bq6"])
+    high, s7 = biquad_apply(t3, hp_hi, state["bq7"])
+    y = low * g_lo + mid * g_mid + high * g_hi
+    return y, {"bq0": s0, "bq1": s1, "bq2": s2, "bq3": s3,
+               "bq4": s4, "bq5": s5, "bq6": s6, "bq7": s7}
+
+
+# ---------------------------------------------------------------------------
+# flanger (short modulated delay mixed with dry, feedback-free)
+# ---------------------------------------------------------------------------
+
+_FLANGER_MAX_DELAY_MS = 12.0
+
+
+def _flanger_init(sr: int) -> dict:
+    m = int(_FLANGER_MAX_DELAY_MS / 1000.0 * sr) + 4
+    return {"tail": jnp.zeros((m, 2), jnp.float32),
+            "t0": jnp.zeros((), jnp.float32)}
+
+
+def _flanger_process(x, state, params, sr):
+    rate = jnp.clip(params["rate"], 0.02, 10.0)
+    depth_ms = jnp.clip(params["depth"], 0.1, 5.0)
+    base_ms = jnp.clip(params["base"], 0.5, 6.0)
+    T = x.shape[0]
+    t = state["t0"] + jnp.arange(T, dtype=jnp.float32) / jnp.float32(sr)
+    lfo = jnp.sin(2.0 * math.pi * rate * t)
+    delay = (base_ms + depth_ms * (0.5 + 0.5 * lfo)) * (sr / 1000.0)
+    wet = delayed_read(x, state["tail"], delay)
+    y = 0.5 * (x + wet)
+    return y, {
+        "tail": _update_tail(x, state["tail"]),
+        "t0": state["t0"] + jnp.float32(T) / jnp.float32(sr),
+    }
+
+
+# ---------------------------------------------------------------------------
 # bitcrush
 # ---------------------------------------------------------------------------
 
@@ -373,6 +451,16 @@ EFFECTS: dict[str, EffectDef] = {
     "bitcrush": EffectDef(
         "bitcrush", {"bits": 8.0}, _bitcrush_init, _bitcrush_process
     ),
+    "eq3": EffectDef(
+        "eq3",
+        {"low_freq": 250.0, "high_freq": 4000.0, "low_gain": 0.0,
+         "mid_gain": 0.0, "high_gain": 0.0},
+        _eq3_init, _eq3_process,
+    ),
+    "flanger": EffectDef(
+        "flanger", {"rate": 0.3, "depth": 2.0, "base": 1.5},
+        _flanger_init, _flanger_process,
+    ),
 }
 
 # case-insensitive URI fragment -> effect kind (covers the Calf URIs the
@@ -385,6 +473,9 @@ _URI_HINTS = [
     ("delay", "delay"),
     ("bitcrush", "bitcrush"),
     ("crusher", "bitcrush"),
+    ("equalizer", "eq3"),
+    ("eq3", "eq3"),
+    ("flanger", "flanger"),
 ]
 
 # parameter-name aliases so LV2-style display names (project.lua:23-26) work
@@ -396,6 +487,11 @@ _PARAM_ALIASES = {
     "rate": "rate", "depth": "depth", "base": "base", "base delay": "base",
     "drive": "drive", "cutoff": "cutoff",
     "time": "time", "feedback": "feedback", "bits": "bits",
+    "low_freq": "low_freq", "low freq": "low_freq",
+    "high_freq": "high_freq", "high freq": "high_freq",
+    "low_gain": "low_gain", "low gain": "low_gain",
+    "mid_gain": "mid_gain", "mid gain": "mid_gain",
+    "high_gain": "high_gain", "high gain": "high_gain",
 }
 
 

@@ -144,7 +144,7 @@ class TestPluginHost:
             == "reverb"
         assert resolve_uri("http://x/MultiChorus").kind == "chorus"
         assert resolve_uri("native:tape").kind == "tape"
-        assert resolve_uri("http://unknown/Flanger") is None
+        assert resolve_uri("http://unknown/Phaser9000") is None
 
     def test_param_aliases(self):
         assert resolve_param("Attack") == "attack"
@@ -166,3 +166,43 @@ class TestPluginHost:
         assert "has no parameter" in capsys.readouterr().out
         h.remove_plugin("c")
         assert h.get_index("c") is None
+
+
+class TestEq3AndFlanger:
+    def test_eq3_band_gains(self):
+        sr = 8000
+        t = np.arange(sr) / sr
+        low = np.sin(2 * np.pi * 60 * t)
+        high = np.sin(2 * np.pi * 3500 * t)
+        x = np.stack([low + high] * 2, 1).astype(np.float32)
+        y, _ = process(
+            "eq3", x,
+            {"low_gain": -40.0, "high_gain": 0.0, "low_freq": 250.0,
+             "high_freq": 2000.0},
+            sr=sr,
+        )
+        y = a(y)
+        # the 60 Hz component must be strongly attenuated, 3.5k kept
+        spec = np.abs(np.fft.rfft(y[sr // 2 :, 0]))
+        freqs = np.fft.rfftfreq(sr - sr // 2, 1 / sr)
+        lo_bin = spec[np.argmin(np.abs(freqs - 60))]
+        hi_bin = spec[np.argmin(np.abs(freqs - 3500))]
+        assert lo_bin < hi_bin * 0.25
+
+    def test_flanger_runs_and_chains(self, rng):
+        x = rng.normal(size=(512, 2)).astype(np.float32) * 0.3
+        full, _ = process("flanger", x)
+        eff = EFFECTS["flanger"]
+        st = eff.init_state(SR)
+        p = {k: jnp.float32(v) for k, v in eff.defaults.items()}
+        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR))
+        parts = []
+        for i in range(0, 512, 128):
+            y, st = fn(jnp.asarray(x[i : i + 128]), st)
+            parts.append(a(y))
+        # 1e-4: the LFO phase accumulates t0 in f32 across windows
+        np.testing.assert_allclose(np.concatenate(parts), a(full), atol=1e-4)
+
+    def test_uri_resolution_new(self):
+        assert resolve_uri("http://x/Equalizer5Band").kind == "eq3"
+        assert resolve_uri("native:flanger").kind == "flanger"

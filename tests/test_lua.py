@@ -246,3 +246,42 @@ def test_call_metamethod():
         """
     )
     assert rt.get_global("r") == 15
+
+
+def test_string_patterns():
+    rt = run(
+        """
+        s = "kick=36, snare=38, hat=42"
+        names = {}
+        notes = {}
+        for name, note in string.gmatch(s, "(%a+)=(%d+)") do
+            table.insert(names, name)
+            table.insert(notes, tonumber(note))
+        end
+        replaced, n = string.gsub(s, "%d+", function(d) return tostring(tonumber(d) + 12) end)
+        first = string.match(s, "%a+")
+        a, b, cap = string.find(s, "(snare)")
+        up = string.gsub("a-b-c", "%-", "_")
+        """
+    )
+    assert rt.get_global("names").array_items() == ["kick", "snare", "hat"]
+    assert rt.get_global("notes").array_items() == [36, 38, 42]
+    assert rt.get_global("replaced") == "kick=48, snare=50, hat=54"
+    assert rt.get_global("n") == 3
+    assert rt.get_global("first") == "kick"
+    assert rt.get_global("a") == 10 and rt.get_global("b") == 14
+    assert rt.get_global("cap") == "snare"
+    assert rt.get_global("up") == "a_b_c"
+
+
+def test_pattern_classes_and_anchors():
+    rt = run(
+        """
+        a = string.match("  hello  ", "^%s*(.-)%s*$")
+        b = string.match("x99y", "[^%d]+")
+        c = string.find("abc", "b", 1, true)
+        """
+    )
+    assert rt.get_global("a") == "hello"
+    assert rt.get_global("b") == "x"
+    assert rt.get_global("c") == 2
