@@ -343,6 +343,9 @@ def bake_notes(
                 [n.off_f if n.off_f is not None else SENTINEL for n in notes],
                 np.int32,
             ),
+            "dead_f": np.asarray(
+                [min(n.dead_f, INF_FRAME) for n in notes], np.int32
+            ),
         },
         n_pad,
     )

@@ -86,6 +86,7 @@ def synth(
     vel = bake["vels"][idx]
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
+    dead_f = bake["dead_f"][idx]
 
     fb = f[:, :, None]  # [nb, bl, 1]
     time = f.astype(jnp.float32)[:, :, None] / jnp.float32(sr)
@@ -93,6 +94,11 @@ def synth(
     on_b = on_f[:, None, :]
     off_b = off_f[:, None, :]
     velb = vel[:, None, :]
+    # per-frame life span: a note exists only from its on event (the
+    # reference appends it mid-block, extensions.rs:482-483) until its
+    # removal frame (retain on a later off event can cut a released note
+    # mid-block, extensions.rs:485)
+    alive = (fb >= on_b) & (fb < dead_f[:, None, :])
 
     s = jnp.zeros(fb.shape[:2] + (idx.shape[1],), jnp.float32)
     if sq_vol > 0.0:
@@ -105,7 +111,7 @@ def synth(
         env = _note_envelope(tr_conf, fb, on_b, off_b, sr)
         s = s + osc.triangle(time, hz) * velb * env * tr_vol
     s = s * amp_mult
-    s = jnp.where(valid[:, None, :], s, 0.0)
+    s = jnp.where(valid[:, None, :] & alive, s, 0.0)
     mono = jnp.sum(s, axis=2).reshape(-1)
     return jnp.stack([mono, mono], axis=1)
 
@@ -129,10 +135,12 @@ def sampsyn(
     vel = bake["vels"][idx]
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
+    dead_f = bake["dead_f"][idx]
 
     fb = f[:, :, None]
     on_b = on_f[:, None, :]
     off_b = off_f[:, None, :]
+    alive = (fb >= on_b) & (fb < dead_f[:, None, :])
     env = _note_envelope(conf, fb, on_b, off_b, sr)
 
     # table clock: seconds since note-on
@@ -177,6 +185,6 @@ def sampsyn(
     wave = wave.reshape(tau.shape)  # [nb, bl, P]
 
     s = wave * vel[:, None, :] * env * amp_mult
-    s = jnp.where(valid[:, None, :], s, 0.0)
+    s = jnp.where(valid[:, None, :] & alive, s, 0.0)
     mono = jnp.sum(s, axis=2).reshape(-1)
     return jnp.stack([mono, mono], axis=1)
