@@ -79,9 +79,18 @@ def _unpack_bakes(ints_buf, floats_buf, layout):
     return bakes
 
 
-@dataclass
+# jitted window programs shared across CompiledGraph instances: keyed by
+# the graph spec + window size + scan flag + bake layouts, so a refresh
+# with unchanged topology/static config never recompiles
+_PROGRAM_CACHE: dict = {}
+
+
+@dataclass(frozen=True, eq=True)
 class _VertexStatic:
-    """Per-vertex compile-time configuration resolved at build."""
+    """Per-vertex compile-time configuration resolved at build.
+
+    Hashable: it is part of the cross-refresh program-cache key (hot reload
+    must not recompile when the topology/static config is unchanged)."""
 
     kind: str
     sample_pos: int | None = None      # position in the samples tuple
@@ -98,7 +107,7 @@ class _VertexStatic:
     hgamma: float = 0.0
     wt_pos: int | None = None          # position in the wavetables tuple
     release_sec: float = 0.0           # synth-family note retention
-    fx_effect: Any = None              # EffectDef
+    fx_kind: str = ""                  # key into ops.fx.EFFECTS
     fx_plugin_index: int = 0
 
 
@@ -136,7 +145,7 @@ class CompiledGraph:
         self.statics: dict[int, _VertexStatic] = {}
         for vi in self.order:
             v = graph.vertices[vi]
-            st = _VertexStatic(kind=v.kind)
+            kw: dict[str, Any] = {"kind": v.kind}
             p = v.params
             if v.kind in (G.SAMPLELOOP, G.SAMPLEMULTI, G.SAMPLELERP):
                 si = p["sample_index"]
@@ -144,31 +153,31 @@ class CompiledGraph:
                     sample_pos[si] = len(self.samples)
                     arr = sample_bank.get_sample(si).as_array()
                     self.samples.append(jnp.asarray(arr))
-                st.sample_pos = sample_pos[si]
-                st.sample_len = len(sample_bank.get_sample(si))
-                if v.kind == G.SAMPLEMULTI and st.sample_pos not in (
+                kw["sample_pos"] = sample_pos[si]
+                kw["sample_len"] = len(sample_bank.get_sample(si))
+                if v.kind == G.SAMPLEMULTI and kw["sample_pos"] not in (
                     self.samples_padded
                 ):
                     from ..ops.pallas_voices import make_padded_sample
 
-                    self.samples_padded[st.sample_pos] = make_padded_sample(
-                        self.samples[st.sample_pos], bl
+                    self.samples_padded[kw["sample_pos"]] = make_padded_sample(
+                        self.samples[kw["sample_pos"]], bl
                     )
             if v.kind in (
                 G.SAMPLEMULTI, G.SAMPLELERP, G.DEBUGSINE, G.SYNTH,
                 G.SAMPSYN, G.ADSR,
             ):
-                st.floww_index = p["floww_index"]
-                st.note = p.get("note")
+                kw["floww_index"] = p["floww_index"]
+                kw["note"] = p.get("note")
             if v.kind == G.SAMPLELERP:
-                st.lerp_len = p["lerp_len"]
+                kw["lerp_len"] = p["lerp_len"]
             if v.kind == G.SYNTH:
-                st.osc_static = (
+                kw["osc_static"] = (
                     (p["sq_vol"], p["sq_z"]),
                     (p["tf_vol"], p["tf_z"]),
                     (p["tr_vol"], 0.0),
                 )
-                st.confs = (p["sq_conf"], p["tf_conf"], p["tr_conf"])
+                kw["confs"] = (p["sq_conf"], p["tf_conf"], p["tr_conf"])
                 # effective release (extensions.rs:469-477): max release_sec
                 # over oscillators with volume > 0
                 rel = 0.0
@@ -178,27 +187,44 @@ class CompiledGraph:
                     rel = max(rel, p["tf_conf"].release_sec)
                 if p["tr_vol"] > 0.0:
                     rel = max(rel, p["tr_conf"].release_sec)
-                st.release_sec = rel
+                kw["release_sec"] = rel
             if v.kind == G.SAMPSYN:
-                st.confs = (p["conf"],)
-                st.release_sec = p["conf"].release_sec
+                kw["confs"] = (p["conf"],)
+                kw["release_sec"] = p["conf"].release_sec
                 wt = wavetables[vi]
-                st.wt_pos = len(self.wavetables)
+                kw["wt_pos"] = len(self.wavetables)
                 self.wavetables.append(
                     (jnp.asarray(wt.times), jnp.asarray(wt.waves))
                 )
             if v.kind == G.ADSR:
-                st.confs = (p["conf"],)
-                st.use_off = p["use_off"]
-                st.use_max = p["use_max"]
+                kw["confs"] = (p["conf"],)
+                kw["use_off"] = p["use_off"]
+                kw["use_max"] = p["use_max"]
             if v.kind == G.BANDPASS:
-                st.pass_mode = p["pass_mode"]
-                st.lgamma = filters.gamma_from_cutoff(p["cut_low"], sr)
-                st.hgamma = filters.gamma_from_cutoff(p["cut_high"], sr)
+                kw["pass_mode"] = p["pass_mode"]
+                kw["lgamma"] = filters.gamma_from_cutoff(p["cut_low"], sr)
+                kw["hgamma"] = filters.gamma_from_cutoff(p["cut_high"], sr)
             if v.kind == G.PLUGINFX:
-                st.fx_plugin_index = p["plugin_index"]
-                st.fx_effect = plugin_host.get(p["plugin_index"]).effect
-            self.statics[vi] = st
+                kw["fx_plugin_index"] = p["plugin_index"]
+                kw["fx_kind"] = plugin_host.get(p["plugin_index"]).effect.kind
+            self.statics[vi] = _VertexStatic(**kw)
+
+        # cross-refresh program-cache key: the jitted window programs depend
+        # only on this signature (plus window size / scan flag / bake
+        # layouts), so a refresh that doesn't change the topology or static
+        # vertex config reuses every compiled program — hot reload stays hot
+        # (the reference's refresh has no compile step to amortize;
+        # state.rs:50-471)
+        self.spec = (
+            bl, sr, self.use_pallas,
+            tuple(self.order),
+            tuple(tuple(self.in_edges[vi]) for vi in self.order),
+            self.output,
+            tuple(self.statics[vi] for vi in self.order),
+            tuple(int(s.shape[0]) for s in self.samples),
+            tuple(tuple(w.shape for w in wt) for wt in self.wavetables),
+            len(graph.vertices),
+        )
 
         # traced per-vertex scalar params, indexed by vertex id
         self._gains = jnp.asarray(
@@ -225,7 +251,11 @@ class CompiledGraph:
             elif st.kind == G.BANDPASS:
                 self.num_state[f"{vi}.bp"] = BandPassState.init()
             elif st.kind == G.PLUGINFX:
-                self.num_state[f"{vi}.fx"] = st.fx_effect.init_state(sr)
+                from ..ops.fx import EFFECTS
+
+                self.num_state[f"{vi}.fx"] = (
+                    EFFECTS[st.fx_kind].init_state(sr)
+                )
             elif st.kind == G.SAMPLEMULTI:
                 self.carries[vi] = B.MultiCarry()
             elif st.kind == G.SAMPLELERP:
@@ -237,7 +267,11 @@ class CompiledGraph:
             elif st.kind == G.ADSR:
                 self.carries[vi] = B.AdsrCarry()
 
-        self._jit_cache: dict[tuple[int, bool], Any] = {}
+        # padded channel-major copies (Pallas voice kernel) in a stable
+        # order so they can ride the call as traced args
+        self.padded_order = tuple(sorted(self.samples_padded))
+
+        self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
 
     # -- normalization controls (reference graph.rs:195-220) ---------------
     def reset_normalize_vertices(self) -> None:
@@ -335,6 +369,7 @@ class CompiledGraph:
             floats_buf,
             fx_vec,
             tuple(self.samples),
+            tuple(self.samples_padded[p] for p in self.padded_order),
             tuple(self.wavetables),
             np.int32(t0),
         )
@@ -399,7 +434,7 @@ class CompiledGraph:
                 for k in tbl
             }
 
-        key = ("sharded", nb_total, is_scan, n_dev)
+        key = (self.spec, "sharded", nb_total, is_scan, n_dev)
         if key not in self._jit_cache:
             state_spec = jax.tree.map(lambda _: P(), self.num_state)
             in_specs = (
@@ -407,6 +442,7 @@ class CompiledGraph:
                 (P(), P(), P()),
                 {k: bake_spec(tbl) for k, tbl in bakes.items()},
                 tuple(P(None, None) for _ in self.samples),
+                (),
                 tuple((P(None), P(None, None)) for _ in self.wavetables),
                 {},  # fx_params (empty: no pluginfx in sharded mode)
                 P(),
@@ -427,6 +463,7 @@ class CompiledGraph:
             (self._gains, self._angles, self._wets),
             bakes,
             tuple(self.samples),
+            (),
             tuple(self.wavetables),
             {},
             jnp.int32(t0),
@@ -480,25 +517,26 @@ class CompiledGraph:
 
     # -- program construction -------------------------------------------------
     def _get_fn(self, nb: int, is_scan: bool, layout: tuple, fx_layout: tuple):
-        key = (nb, is_scan, layout, fx_layout)
+        key = (self.spec, nb, is_scan, layout, fx_layout)
         if key not in self._jit_cache:
 
             def packed(num_state, params, ints_buf, floats_buf, fx_vec,
-                       samples, wts, t0):
+                       samples, samples_padded, wts, t0):
                 bakes = _unpack_bakes(ints_buf, floats_buf, layout)
                 fx_params: dict[str, dict] = {}
                 for vkey, name, pos in fx_layout:
                     fx_params.setdefault(vkey, {})[name] = fx_vec[pos]
                 return self._program(
-                    num_state, params, bakes, samples, wts, fx_params, t0,
-                    nb=nb, is_scan=is_scan,
+                    num_state, params, bakes, samples, samples_padded, wts,
+                    fx_params, t0, nb=nb, is_scan=is_scan,
                 )
 
             self._jit_cache[key] = jax.jit(packed)
         return self._jit_cache[key]
 
     def _program(
-        self, num_state, params, bakes, samples, wts, fx_params, t0,
+        self, num_state, params, bakes, samples, samples_padded, wts,
+        fx_params, t0,
         *, nb: int, is_scan: bool, axis_name: str | None = None,
         block_shaped_out: bool = False,
     ):
@@ -550,10 +588,10 @@ class CompiledGraph:
                     begins, vvels = compute_begin_vel(
                         bakes[key], frames[0], nb, bl, st.sample_len
                     )
-                    out = sample_multi_pallas(
-                        self.samples_padded[st.sample_pos], begins, vvels,
-                        nb, bl,
-                    )
+                    padded = samples_padded[
+                        self.padded_order.index(st.sample_pos)
+                    ]
+                    out = sample_multi_pallas(padded, begins, vvels, nb, bl)
                 else:
                     out = sampler.sample_multi(
                         samples[st.sample_pos], bakes[key], frames, nb, bl
@@ -589,7 +627,9 @@ class CompiledGraph:
                 ns[f"{vi}.bp"] = bp
             elif kind == G.PLUGINFX:
                 wet = wets[vi]
-                y, fx_state = st.fx_effect.process(
+                from ..ops.fx import EFFECTS
+
+                y, fx_state = EFFECTS[st.fx_kind].process(
                     x, ns[f"{vi}.fx"], fx_params[key], sr
                 )
                 skip = wet < 0.0001
