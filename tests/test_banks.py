@@ -1,0 +1,100 @@
+"""SampleBank load-mode semantics (reference sample.rs:38-77, 196-314)."""
+
+import numpy as np
+import pytest
+
+from termdaw_tpu.banks import SampleBank, SampleLoadMethod
+from termdaw_tpu.fileio.wav import write_wav
+
+SR = 8000
+
+
+def make_stereo(tmp_path, name="s.wav"):
+    # left: loud ramp; right: quiet sine
+    n = 400
+    l = np.linspace(0, 0.8, n).astype(np.float32)
+    r = (0.2 * np.sin(np.linspace(0, 12, n))).astype(np.float32)
+    p = tmp_path / name
+    write_wav(p, np.stack([l, r], 1), SR, bits=32)
+    return p, l, r
+
+
+def make_mono(tmp_path, name="m.wav"):
+    n = 300
+    x = (0.5 * np.sin(np.linspace(0, 20, n))).astype(np.float32)
+    p = tmp_path / name
+    write_wav(p, x[:, None], SR, bits=32)
+    return p, x
+
+
+class TestLoadModes:
+    def test_stereo_requires_two_channels(self, tmp_path):
+        p, x = make_mono(tmp_path)
+        sb = SampleBank(SR)
+        with pytest.raises(ValueError, match="2 channel"):
+            sb.add("m", str(p), SampleLoadMethod.STEREO)
+
+    def test_stereo_peak_normalized_jointly(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.STEREO)
+        s = sb.get_sample(0)
+        # joint peak normalize: L peaks at 1, R keeps relative level
+        assert abs(np.max(np.abs(s.l)) - 1.0) < 1e-5
+        assert np.max(np.abs(s.r)) < 0.3
+
+    def test_left_copies_left(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.LEFT)
+        s = sb.get_sample(0)
+        np.testing.assert_allclose(s.l, s.r)
+        np.testing.assert_allclose(s.l, l / np.max(np.abs(l)), atol=1e-5)
+
+    def test_right_copies_right(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.RIGHT)
+        s = sb.get_sample(0)
+        np.testing.assert_allclose(s.l, s.r)
+        np.testing.assert_allclose(
+            s.l, r / np.max(np.abs(r)), atol=1e-5
+        )
+
+    def test_loudest_picks_louder_channel(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)  # left has higher mean energy
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.LOUDEST)
+        s = sb.get_sample(0)
+        np.testing.assert_allclose(s.l, l / np.max(np.abs(l)), atol=1e-5)
+
+    def test_normalize_seperate(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.NORM)
+        s = sb.get_sample(0)
+        # per-channel peaks both at 1
+        assert abs(np.max(np.abs(s.l)) - 1.0) < 1e-5
+        assert abs(np.max(np.abs(s.r)) - 1.0) < 1e-5
+
+    def test_mix_down(self, tmp_path):
+        p, l, r = make_stereo(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("s", str(p), SampleLoadMethod.MIX)
+        s = sb.get_sample(0)
+        mix = l + r
+        mix = mix / np.max(np.abs(mix))
+        np.testing.assert_allclose(s.l, mix, atol=1e-5)
+        np.testing.assert_allclose(s.l, s.r)
+
+    def test_unknown_mode_string_falls_back_to_stereo(self):
+        assert SampleLoadMethod.from_str("whatever") \
+            == SampleLoadMethod.STEREO
+        assert SampleLoadMethod.from_str("mix-down") == SampleLoadMethod.MIX
+
+    def test_mono_left_mode(self, tmp_path):
+        p, x = make_mono(tmp_path)
+        sb = SampleBank(SR)
+        sb.add("m", str(p), SampleLoadMethod.LEFT)
+        s = sb.get_sample(0)
+        np.testing.assert_allclose(s.l, x / np.max(np.abs(x)), atol=1e-5)
