@@ -179,7 +179,7 @@ class TestOracleEquivalence:
         compare(got, expect, 2e-3)
 
     @pytest.mark.parametrize("use_off,use_max", [
-        (False, True), (False, False), (True, True),
+        (False, True), (False, False), (True, True), (True, False),
     ])
     def test_adsr_modes(self, tmp_path, rng, sample, use_off, use_max):
         ev = random_events(rng, 10, LEN_SEC)
