@@ -147,6 +147,21 @@ def main() -> None:
         log(f"full-graph config failed: {e}")
         extra["fullgraph_error"] = str(e)
 
+    # config 5: 64-track streaming mix, 96k->48k import resample, 32-bit
+    try:
+        t0 = time.perf_counter()
+        st3 = build_stream_mix(tmp / "c5", length_sec, sr, bl, n_tracks=64)
+        st3.render()
+        times3 = time_renders(st3, max(2, reps // 2))
+        p50_3 = statistics.median(times3)
+        extra["stream64_p50_ms"] = round(p50_3 * 1e3, 2)
+        extra["stream64_xrt"] = round(length_sec / p50_3, 1)
+        log(f"64-track stream mix: p50 {p50_3*1e3:.1f} ms -> "
+            f"{length_sec/p50_3:.0f}x RT")
+    except Exception as e:  # pragma: no cover
+        log(f"stream-mix config failed: {e}")
+        extra["stream64_error"] = str(e)
+
     result = {
         "metric": "render_throughput_sample_project",
         "value": round(xrt, 1),
@@ -155,6 +170,57 @@ def main() -> None:
         "extra": extra,
     }
     print(json.dumps(result))
+
+
+def build_stream_mix(d: Path, length_sec: float, sr: int, bl: int,
+                     n_tracks: int):
+    """BASELINE config 5: n streamed tracks of one-shot players over a
+    96 kHz sample (import-resampled), normalize, 32-bit render."""
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+    from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+    from termdaw_tpu.utils.fixtures import _drum
+
+    d.mkdir(parents=True, exist_ok=True)
+    _drum(d / "hit.wav", 96000, 0.08, 400.0, 40.0, noise=0.4, seed=3)
+    lines = [
+        f"set_length({length_sec});",
+        f"set_render_samplerate({sr});",
+        "set_render_bitdepth(32);",
+        f'set_output_file("{d}/mix.wav");',
+        f'load_sample("hit", "{d}/hit.wav", "");',
+        'add_normalize("sum", 1.0, 0.0);',
+    ]
+    for i in range(n_tracks):
+        angle = (i / n_tracks) * 180.0 - 90.0
+        lines += [
+            f'declare_stream("s{i}");',
+            f'add_sample_multi("t{i}", 1.0, {angle:.2f}, "hit", "s{i}", -1);',
+            f'connect("t{i}", "sum");',
+        ]
+    lines.append('set_output("sum");')
+    (d / "project.lua").write_text("\n".join(lines))
+    (d / "project.toml").write_text(
+        f'[settings]\nmain = "project.lua"\nbuffer_length = {bl}\n'
+        f"project_samplerate = {sr}\n"
+    )
+    st = State(Config.read(d / "project.toml"), str(d))
+    st.refresh()
+    assert st.loaded
+    rng = np.random.default_rng(11)
+    blob = b""
+    for i in range(n_tracks):
+        times = np.sort(
+            rng.uniform(0.0, length_sec * 0.95, size=32)
+        ).astype(np.float32)
+        ev = np.stack(
+            [np.zeros(32, np.float32), times,
+             np.full(32, 36.0, np.float32),
+             rng.uniform(0.4, 1.0, 32).astype(np.float32)], axis=1,
+        )
+        blob += encode_events(f"s{i}", ev)
+    st.fb.append_streams(PacketDecoder().feed(blob))
+    return st
 
 
 if __name__ == "__main__":

@@ -172,7 +172,10 @@ def sampsyn(
     fracf = frac.reshape(-1)
 
     # flat-index gathers (1-D gathers lower far better than 2-D fancy
-    # indexing on this backend)
+    # indexing on this backend). A Pallas VMEM-table kernel was probed and
+    # abandoned: this Mosaic version supports no usable vectorized VMEM
+    # gather (jnp.take -> "Only 2D gather is supported";
+    # take_along_axis -> lowering AssertionError). Revisit on newer runtimes.
     tw = table_waves.reshape(-1)  # [K*W]
     base0 = k * W
     w0 = tw[base0 + p0] * (1 - fracf) + tw[base0 + p1] * fracf
