@@ -58,13 +58,15 @@ class Player:
     # powers of two keep the jit cache small
     _WINDOWS = (16, 8, 4, 2, 1)
 
-    def tick(self) -> None:
-        """Render as many blocks as wall-clock pacing demands."""
+    def tick(self) -> int:
+        """Render as many blocks as wall-clock pacing demands.
+        Returns the number of blocks rendered (0 = idle)."""
+        rendered = 0
         if not self.playing:
-            return
+            return 0
         if not self.state.loaded:
             self.playing = False
-            return
+            return 0
         cg = self.state.compiled
         block_ms = self.buffer_len / self.proj_sr * 1000.0
         while True:
@@ -81,3 +83,5 @@ class Player:
             chunk = np.asarray(audio)  # [nb*bl, 2]
             self.sink.queue_audio(chunk.reshape(-1))
             self.millis_generated += nb * block_ms
+            rendered += nb
+        return rendered

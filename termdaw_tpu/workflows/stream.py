@@ -30,9 +30,22 @@ def run_stream_workflow(
 
     def reader() -> None:
         dec = PacketDecoder()
+        # read through the raw fd when possible: a daemon thread blocked in
+        # a BufferedReader.read holds the buffer lock and aborts CPython at
+        # interpreter shutdown ("could not acquire lock ... at interpreter
+        # shutdown")
+        import os
+
+        fd = raw_in.fileno() if hasattr(raw_in, "fileno") else None
+
+        def read_chunk():
+            if fd is not None:
+                return os.read(fd, 4096)
+            return raw_in.read(4096)
+
         try:
             while True:
-                data = raw_in.read(4096)
+                data = read_chunk()
                 if not data:
                     break
                 for pkt in dec.feed(data):
@@ -41,6 +54,8 @@ def run_stream_workflow(
             print(f"{RED}Error: could not decode std input.{DEFAULT}")
             feed_queue.put(("fatal", None))
             return
+        except OSError:
+            pass
         feed_queue.put(("eof", None))
 
     t = threading.Thread(target=reader, daemon=True)
@@ -64,8 +79,10 @@ def run_stream_workflow(
             player.tick()
             # like the reference, EOF does not stop playback
             # (stream_workflow.rs loops forever); max_idle_s gives batch
-            # runs and tests a clean exit
-            if max_idle_s is not None and (
+            # runs and tests a clean exit. Only trip it when no packets are
+            # pending: a tick can block for seconds in first-use compiles
+            # while input piles up in the queue.
+            if max_idle_s is not None and feed_queue.empty() and (
                 _time.monotonic() - idle_since > max_idle_s
             ):
                 break
