@@ -36,7 +36,10 @@ def run_stream_workflow(
         # shutdown")
         import os
 
-        fd = raw_in.fileno() if hasattr(raw_in, "fileno") else None
+        try:
+            fd = raw_in.fileno()
+        except Exception:  # BytesIO etc. raise UnsupportedOperation
+            fd = None
 
         def read_chunk():
             if fd is not None:
