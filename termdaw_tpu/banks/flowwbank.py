@@ -31,7 +31,6 @@ import numpy as np
 
 from ..fileio.midi import read_floww_from_midi, MidiError
 from ..fileio.packets import FlowwPacket, KIND_EVENTS, KIND_TEXT
-from ..utils import term
 
 
 def event_frames(events: np.ndarray, sr: int) -> np.ndarray:

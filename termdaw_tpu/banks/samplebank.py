@@ -26,7 +26,7 @@ from enum import Enum
 import numpy as np
 
 from ..fileio.wav import read_wav, WavError
-from ..utils.term import YELLOW, BLUE, RED, DEFAULT
+from ..utils.term import YELLOW, BLUE, DEFAULT
 
 
 class SampleLoadMethod(Enum):

@@ -37,7 +37,6 @@ from . import graph as G
 from . import bake as B
 from ..banks.flowwbank import FlowwBank
 from ..ops import mix, sampler, synthv, envelope, filters
-from ..ops.adsr import AdsrConf
 from ..ops.filters import BandPassState
 
 

@@ -44,7 +44,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .filters import first_order_scan
 

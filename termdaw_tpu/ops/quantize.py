@@ -12,8 +12,6 @@ only reachable with clipping gain into a 32-bit render.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

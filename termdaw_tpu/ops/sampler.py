@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..graph.bake import SENTINEL
 
 
 def sample_loop(sample: jnp.ndarray, frames: jnp.ndarray) -> jnp.ndarray:

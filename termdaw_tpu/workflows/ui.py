@@ -20,7 +20,6 @@ from __future__ import annotations
 import queue
 import sys
 import threading
-import time
 
 from ..engine.player import Player
 from ..utils.term import DEFAULT, BLUE, RED, MAGENTA
