@@ -38,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
         f'{BLUE}"{config.settings.main}"{DEFAULT}'
     )
 
+    # build-on-first-run assets: a project dir may ship a make_assets.py
+    # that synthesizes its WAV/MIDI/wavetable fixtures (the reference's
+    # examples point at files on the author's machine; ours regenerate).
+    # Idempotent by contract — it runs on every launch and skips fast.
+    gen = Path(wdir) / "make_assets.py"
+    if gen.exists():
+        import runpy
+
+        runpy.run_path(str(gen), run_name="__main__")
+
     main_path = Path(wdir) / config.settings.main
     if not main_path.exists():
         print(

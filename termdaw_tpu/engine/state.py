@@ -21,7 +21,10 @@ Documented deviations:
 * a resource/graph build failure aborts the refresh with a message instead
   of panicking (state.rs:393, 410-413);
 * render down-sampling filters the whole bounce in one pass instead of
-  rubato's per-chunk streaming (same filter recipe; no chunk-edge state).
+  rubato's per-chunk streaming (same filter recipe; no chunk-edge state);
+* relative asset/output paths resolve against the project dir (the
+  reference hands them to the OS as-is, i.e. cwd-relative), so projects
+  are runnable from anywhere.
 """
 
 from __future__ import annotations
@@ -108,6 +111,11 @@ class State:
         self.cur_lv2plugins: list[tuple] = []
         self.cur_lv2params: list[tuple] = []
         self.compiled: CompiledGraph | None = None
+
+    def _resolve(self, file: str) -> str:
+        """Project-dir-relative path resolution (documented deviation)."""
+        p = Path(file)
+        return str(p) if p.is_absolute() else str(Path(self.wdir) / p)
 
     # ------------------------------------------------------------------ refresh
     def refresh(self) -> None:
@@ -256,7 +264,9 @@ class State:
                 f"the sample bank.{DEFAULT}"
             )
             try:
-                self.sb.add(name, file, SampleLoadMethod.from_str(method))
+                self.sb.add(
+                    name, self._resolve(file), SampleLoadMethod.from_str(method)
+                )
             except ValueError as e:
                 print(f"{RED}{e}{DEFAULT}")
                 excluded.append(name)
@@ -279,7 +289,7 @@ class State:
         excluded = []
         for name, file in pos:
             try:
-                self.bb.add(name, file)
+                self.bb.add(name, self._resolve(file))
             except ValueError as e:
                 print(f"{RED}{e}{DEFAULT}")
                 excluded.append(name)
@@ -291,7 +301,7 @@ class State:
         self.fb.reset()
         for name, file in midis:
             try:
-                self.fb.add_floww(name, file)
+                self.fb.add_floww(name, self._resolve(file))
             except ValueError as e:
                 print(f"{RED}{e}{DEFAULT}")
                 raise RefreshAbort from None
@@ -531,7 +541,9 @@ class State:
                 self.fb.advance_blocks(nb)
                 left -= nb
 
-        writer = WavWriter(self.output_file, 2, self.render_sr, self.bd)
+        writer = WavWriter(
+            self._resolve(self.output_file), 2, self.render_sr, self.bd
+        )
         if windows:
             # one fused device call: concat -> (resample) -> quantize, then a
             # single device->host fetch (syncs over the TPU tunnel are ~30 ms

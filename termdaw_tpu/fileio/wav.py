@@ -147,6 +147,14 @@ def read_wav(path: str | Path, scale: bool = False) -> tuple[np.ndarray, WavSpec
 
     frames = len(vals) // channels
     data = vals[: frames * channels].reshape(frames, channels)
+    if channels == 2 and len(vals) > frames * 2:
+        # odd interleaved tail: the dangling value becomes a final L frame
+        # (sample.rs:283-292 pushes it to l; the reference leaves r short —
+        # here R is zero-filled so the buffer stays rectangular)
+        last = np.zeros((1, 2), vals.dtype)
+        last[0, 0] = vals[frames * 2]
+        data = np.concatenate([data, last], axis=0)
+        frames += 1
     spec = WavSpec(
         channels=channels,
         sample_rate=sample_rate,

@@ -108,6 +108,7 @@ class _VertexStatic:
     release_sec: float = 0.0           # synth-family note retention
     fx_kind: str = ""                  # key into ops.fx.EFFECTS
     fx_plugin_index: int = 0
+    fx_static: tuple = ()              # ((name, value), ...) bound at build
 
 
 class CompiledGraph:
@@ -204,8 +205,17 @@ class CompiledGraph:
                 kw["lgamma"] = filters.gamma_from_cutoff(p["cut_low"], sr)
                 kw["hgamma"] = filters.gamma_from_cutoff(p["cut_high"], sr)
             if v.kind == G.PLUGINFX:
+                from ..ops.fx import static_values
+
+                plug = plugin_host.get(p["plugin_index"])
                 kw["fx_plugin_index"] = p["plugin_index"]
-                kw["fx_kind"] = plugin_host.get(p["plugin_index"]).effect.kind
+                kw["fx_kind"] = plug.effect.kind
+                # static params (delay-line lengths, biquad coefs) bind here;
+                # they are part of the program-cache spec, so changing one at
+                # refresh recompiles, as it must
+                kw["fx_static"] = tuple(sorted(static_values(
+                    plug.effect, plugin_host.param_values(p["plugin_index"])
+                ).items()))
             self.statics[vi] = _VertexStatic(**kw)
 
         # cross-refresh program-cache key: the jitted window programs depend
@@ -253,7 +263,7 @@ class CompiledGraph:
                 from ..ops.fx import EFFECTS
 
                 self.num_state[f"{vi}.fx"] = (
-                    EFFECTS[st.fx_kind].init_state(sr)
+                    EFFECTS[st.fx_kind].init_state(sr, dict(st.fx_static))
                 )
             elif st.kind == G.SAMPLEMULTI:
                 self.carries[vi] = B.MultiCarry()
@@ -379,7 +389,11 @@ class CompiledGraph:
         return audio
 
     def _pack_fx(self) -> tuple[np.ndarray, tuple]:
-        """Effect parameters as one f32 vector + static layout."""
+        """Traced effect parameters as one f32 vector + static layout.
+        Static params (EffectDef.static_params) are excluded — they were
+        bound into _VertexStatic.fx_static at build."""
+        from ..ops.fx import EFFECTS
+
         vals: list[float] = []
         layout: list[tuple] = []
         for vi in self.order:
@@ -388,7 +402,10 @@ class CompiledGraph:
             pv = self.plugin_host.param_values(
                 self.statics[vi].fx_plugin_index
             )
+            skip = EFFECTS[self.statics[vi].fx_kind].static_params
             for name in sorted(pv):
+                if name in skip:
+                    continue
                 layout.append((str(vi), name, len(vals)))
                 vals.append(float(pv[name]))
         vec = np.asarray(vals, np.float32) if vals else np.zeros(1, np.float32)
@@ -629,7 +646,7 @@ class CompiledGraph:
                 from ..ops.fx import EFFECTS
 
                 y, fx_state = EFFECTS[st.fx_kind].process(
-                    x, ns[f"{vi}.fx"], fx_params[key], sr
+                    x, ns[f"{vi}.fx"], fx_params[key], sr, dict(st.fx_static)
                 )
                 skip = wet < 0.0001
                 out = jnp.where(skip, x, x + wet * (y - x))

@@ -135,8 +135,18 @@ def _scaled(d: int, sr: int) -> int:
 class EffectDef:
     kind: str
     defaults: dict
-    init_state: Callable
-    process: Callable  # (x, state, params, sr) -> (y, state')
+    init_state: Callable  # (sr, static) -> state pytree
+    process: Callable  # (x, state, params, sr, static) -> (y, state')
+    # parameter names bound at graph build (host floats — delay-line lengths,
+    # biquad coefficients); changing one triggers a rebuild at refresh, which
+    # is when `parameter(...)` takes effect anyway (state.rs:305-318). All
+    # other params stay traced and never recompile.
+    static_params: tuple = ()
+
+
+def static_values(eff: EffectDef, params: dict) -> dict:
+    """The static (graph-build-time) parameter values for an effect."""
+    return {k: float(params.get(k, eff.defaults[k])) for k in eff.static_params}
 
 
 def _reverb_lines(sr: int) -> tuple[list[int], list[int]]:
@@ -148,7 +158,7 @@ def _reverb_lines(sr: int) -> tuple[list[int], list[int]]:
     return combs, allp
 
 
-def _reverb_init(sr: int) -> dict:
+def _reverb_init(sr: int, static: dict) -> dict:
     combs, allp = _reverb_lines(sr)
     return {
         "comb_tails": tuple(jnp.zeros((d, 2), jnp.float32) for d in combs),
@@ -158,7 +168,7 @@ def _reverb_init(sr: int) -> dict:
     }
 
 
-def _reverb_process(x, state, params, sr):
+def _reverb_process(x, state, params, sr, static):
     combs, allp = _reverb_lines(sr)
     room = jnp.clip(params["room"], 0.0, 0.98)
     damp = jnp.clip(params["damp"], 0.0, 1.0)
@@ -209,13 +219,13 @@ def _reverb_process(x, state, params, sr):
 _CHORUS_MAX_DELAY_MS = 40.0
 
 
-def _chorus_init(sr: int) -> dict:
+def _chorus_init(sr: int, static: dict) -> dict:
     m = int(_CHORUS_MAX_DELAY_MS / 1000.0 * sr) + 4
     return {"tail": jnp.zeros((m, 2), jnp.float32),
             "t0": jnp.zeros((), jnp.float32)}
 
 
-def _chorus_process(x, state, params, sr):
+def _chorus_process(x, state, params, sr, static):
     rate = jnp.clip(params["rate"], 0.01, 20.0)
     depth_ms = jnp.clip(params["depth"], 0.0, 15.0)
     base_ms = jnp.clip(params["base"], 1.0, 20.0)
@@ -239,12 +249,12 @@ def _chorus_process(x, state, params, sr):
 # compressor
 # ---------------------------------------------------------------------------
 
-def _comp_init(sr: int) -> dict:
+def _comp_init(sr: int, static: dict) -> dict:
     return {"env": jnp.zeros((), jnp.float32),
             "smooth": jnp.zeros((), jnp.float32)}
 
 
-def _comp_process(x, state, params, sr):
+def _comp_process(x, state, params, sr, static):
     attack_ms = jnp.maximum(params["attack"], 0.01)
     release_ms = jnp.maximum(params["release"], 1.0)
     thresh_db = params["threshold"]
@@ -280,11 +290,11 @@ def _comp_process(x, state, params, sr):
 # tape
 # ---------------------------------------------------------------------------
 
-def _tape_init(sr: int) -> dict:
+def _tape_init(sr: int, static: dict) -> dict:
     return {"lp_y0": jnp.zeros(2, jnp.float32)}
 
 
-def _tape_process(x, state, params, sr):
+def _tape_process(x, state, params, sr, static):
     drive = jnp.clip(params["drive"], 0.1, 10.0)
     cutoff = jnp.clip(params["cutoff"], 500.0, 20000.0)
     sat = jnp.tanh(x * drive) / jnp.tanh(drive)
@@ -300,44 +310,33 @@ def _tape_process(x, state, params, sr):
 _DELAY_MAX_SEC = 2.0
 
 
-def _delay_lines(sr: int) -> int:
-    return int(_DELAY_MAX_SEC * sr)
+def _delay_samples(sr: int, static: dict) -> int:
+    """Static comb length D from the bound `time` param (ms -> samples)."""
+    t_ms = min(max(float(static["time"]), 1.0), _DELAY_MAX_SEC * 1000.0)
+    return max(1, int(round(t_ms * sr / 1000.0)))
 
 
-def _delay_init(sr: int) -> dict:
-    return {"tail": jnp.zeros((_delay_lines(sr), 2), jnp.float32)}
+def _delay_init(sr: int, static: dict) -> dict:
+    return {"tail": jnp.zeros((_delay_samples(sr, static), 2), jnp.float32)}
 
 
-def _delay_process(x, state, params, sr):
-    # fixed-lattice approximation: feedback at the static max line length is
-    # wrong; instead quantize requested time to samples with a traced gather
-    # for the read and a feedback comb at a static D derived at bind time is
-    # not possible for traced time — so implement y as input + feedback sum
-    # of k echoes (geometric), all gathers:
-    time_ms = jnp.clip(params["time"], 10.0, _DELAY_MAX_SEC * 1000.0)
+def _delay_process(x, state, params, sr, static):
+    # exact feedback comb y[t] = x[t] + fb * y[t-D]: `time` is a static
+    # param bound at graph build, so D is a host int and the residue-class
+    # scan applies — every echo order exact (no truncated echo sum, no decay
+    # of unaccounted energy at high feedback). Deviation (documented):
+    # `time` quantizes to whole samples at bind.
     fb = jnp.clip(params["feedback"], 0.0, 0.95)
-    d = time_ms * (sr / 1000.0)
-    out = x
-    echo_src = jnp.concatenate([state["tail"], x], axis=0)
-    T = x.shape[0]
-    base = state["tail"].shape[0]
-    ks = 6  # echoes within the carried tail horizon
-    t_idx = jnp.arange(T, dtype=jnp.float32) + base
-    for k in range(1, ks + 1):
-        pos = t_idx - k * d
-        p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, echo_src.shape[0] - 2)
-        frac = (pos - p0.astype(jnp.float32))[:, None]
-        ek = echo_src[p0] * (1 - frac) + echo_src[p0 + 1] * frac
-        valid = (pos >= 0)[:, None]
-        out = out + jnp.where(valid, ek, 0.0) * (fb ** k)
-    return out, {"tail": _update_tail(x, state["tail"])}
+    D = _delay_samples(sr, static)
+    y, tail = feedback_line(x, state["tail"], fb, D)
+    return y, {"tail": tail}
 
 
 # ---------------------------------------------------------------------------
 # 3-band EQ (low/mid/high gains via two one-pole crossovers)
 # ---------------------------------------------------------------------------
 
-def _eq3_init(sr: int) -> dict:
+def _eq3_init(sr: int, static: dict) -> dict:
     # Linkwitz-Riley 4th-order tree crossover: LP/HP pair at f_lo on the
     # input, then LP/HP pair at f_hi on the upper branch — 8 biquads
     # (ops/filters.biquad_apply); in-phase band sums (allpass at 0 dB)
@@ -346,19 +345,18 @@ def _eq3_init(sr: int) -> dict:
     return {f"bq{i}": biquad_init_state(2) for i in range(8)}
 
 
-def _eq3_process(x, state, params, sr):
+def _eq3_process(x, state, params, sr, static):
     """3-band EQ with Linkwitz-Riley 4th-order crossovers.
 
-    Crossover frequencies are bound at plugin load (static defaults unless
-    overridden by `parameter` before the refresh builds the graph) because
-    biquad coefficients are host-computed; gains stay fully traced."""
+    Crossover frequencies are static params bound at graph build
+    (`parameter("eq", "low freq", x)` before the refresh moves them)
+    because biquad coefficients are host-computed; gains stay fully
+    traced."""
     from .filters import biquad_apply, biquad_coefs
 
-    # static crossover frequencies (params arrive traced; coefficients need
-    # host floats — use the defaults; gains are the musical controls),
-    # clamped away from Nyquist where the biquad degenerates
-    f_lo = min(250.0, 0.2 * sr)
-    f_hi = min(4000.0, 0.35 * sr)
+    # crossovers clamped away from Nyquist where the biquad degenerates
+    f_lo = min(max(float(static["low_freq"]), 10.0), 0.2 * sr)
+    f_hi = min(max(float(static["high_freq"]), 2.0 * f_lo), 0.35 * sr)
     g_lo = jnp.power(10.0, params["low_gain"] / 20.0)
     g_mid = jnp.power(10.0, params["mid_gain"] / 20.0)
     g_hi = jnp.power(10.0, params["high_gain"] / 20.0)
@@ -386,13 +384,13 @@ def _eq3_process(x, state, params, sr):
 _FLANGER_MAX_DELAY_MS = 12.0
 
 
-def _flanger_init(sr: int) -> dict:
+def _flanger_init(sr: int, static: dict) -> dict:
     m = int(_FLANGER_MAX_DELAY_MS / 1000.0 * sr) + 4
     return {"tail": jnp.zeros((m, 2), jnp.float32),
             "t0": jnp.zeros((), jnp.float32)}
 
 
-def _flanger_process(x, state, params, sr):
+def _flanger_process(x, state, params, sr, static):
     rate = jnp.clip(params["rate"], 0.02, 10.0)
     depth_ms = jnp.clip(params["depth"], 0.1, 5.0)
     base_ms = jnp.clip(params["base"], 0.5, 6.0)
@@ -412,11 +410,11 @@ def _flanger_process(x, state, params, sr):
 # bitcrush
 # ---------------------------------------------------------------------------
 
-def _bitcrush_init(sr: int) -> dict:
+def _bitcrush_init(sr: int, static: dict) -> dict:
     return {}
 
 
-def _bitcrush_process(x, state, params, sr):
+def _bitcrush_process(x, state, params, sr, static):
     bits = jnp.clip(params["bits"], 1.0, 16.0)
     levels = jnp.power(2.0, bits - 1.0)
     y = jnp.round(x * levels) / levels
@@ -445,7 +443,8 @@ EFFECTS: dict[str, EffectDef] = {
         "tape", {"drive": 1.5, "cutoff": 12000.0}, _tape_init, _tape_process
     ),
     "delay": EffectDef(
-        "delay", {"time": 350.0, "feedback": 0.4}, _delay_init, _delay_process
+        "delay", {"time": 350.0, "feedback": 0.4}, _delay_init,
+        _delay_process, static_params=("time",),
     ),
     "bitcrush": EffectDef(
         "bitcrush", {"bits": 8.0}, _bitcrush_init, _bitcrush_process
@@ -454,7 +453,7 @@ EFFECTS: dict[str, EffectDef] = {
         "eq3",
         {"low_freq": 250.0, "high_freq": 4000.0, "low_gain": 0.0,
          "mid_gain": 0.0, "high_gain": 0.0},
-        _eq3_init, _eq3_process,
+        _eq3_init, _eq3_process, static_params=("low_freq", "high_freq"),
     ),
     "flanger": EffectDef(
         "flanger", {"rate": 0.3, "depth": 2.0, "base": 1.5},

@@ -233,6 +233,44 @@ class TestSampSynAndFx:
         assert not np.any(np.isnan(audio))
         assert np.max(np.abs(audio)) > 0.05
 
+    def test_eq3_crossover_moves_with_parameter(self, tmp_path):
+        """`parameter("eq", "low freq", x)` must move the eq3 crossover
+        (static fx param bound at refresh; VERDICT r1 #5)."""
+
+        def render_rms(d, low_freq_line):
+            d.mkdir()
+            tone_wav(d / "tone.wav", freq=600.0, dur=0.5)
+            out = d / "out.wav"
+            st = make_project(
+                d,
+                f"""
+                set_length(0.5);
+                set_output_file("{out}");
+                load_sample("tone", "{d}/tone.wav", "");
+                load_lv2("eq", "native:eq3");
+                parameter("eq", "low gain", -40.0);
+                {low_freq_line}
+                add_sampleloop("loop", 1.0, 0.0, "tone");
+                add_lv2fx("fx", 1.0, 0.0, 1.0, "eq");
+                connect("loop", "fx");
+                set_output("fx");
+                """,
+            )
+            st.refresh()
+            assert st.loaded
+            st.render()
+            audio, _ = read_wav(out, scale=True)
+            half = len(audio) // 2
+            return float(np.sqrt(np.mean(audio[half:, 0] ** 2)))
+
+        # default low_freq=250: the 600 Hz tone sits in the mid band, kept
+        rms_default = render_rms(tmp_path / "a", "")
+        # moved crossover 1600: the tone falls into the -40 dB low band
+        rms_moved = render_rms(
+            tmp_path / "b", 'parameter("eq", "low freq", 1600.0);'
+        )
+        assert rms_moved < rms_default * 0.1
+
     def test_bad_wavetable_falls_back(self, tmp_path):
         write_midi(tmp_path / "m.mid", [(0.02, 0.1, 60, 100)], bpm=120)
         (tmp_path / "bad.wt").write_bytes(b"not a wavetable")

@@ -1,0 +1,70 @@
+"""The shipped example projects must load and render headlessly.
+
+Each example is refreshed from its real on-disk project (assets generated
+by examples/_gen.py, exactly as the CLI's first-run hook does), then
+rendered with the song truncated to a few windows so CI stays fast —
+refresh/compile/render cover the full pipeline either way.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+EXAMPLES = REPO / "examples"
+
+sys.path.insert(0, str(EXAMPLES))
+
+
+@pytest.fixture(scope="module")
+def assets():
+    import _gen
+
+    return _gen.ensure()
+
+
+def _load(name):
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+
+    wdir = EXAMPLES / name
+    cfg = Config.read(wdir / "project.toml")
+    st = State(cfg, str(wdir))
+    st.refresh()
+    assert st.loaded, f"example {name} failed to refresh"
+    return st
+
+
+@pytest.mark.parametrize(
+    "name", ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
+)
+def test_example_renders(name, assets, tmp_path):
+    st = _load(name)
+    st.cs = 3  # truncate the 40 s song: 3 blocks exercise the full path
+    st.output_file = str(tmp_path / "out.wav")
+    st.render()
+    from termdaw_tpu.fileio.wav import read_wav
+
+    audio, spec = read_wav(tmp_path / "out.wav", scale=True)
+    assert spec.channels == 2
+    assert len(audio) > 0
+    assert np.all(np.isfinite(audio))
+    assert np.max(np.abs(audio)) > 1e-4, "example rendered silence"
+
+
+def test_stream_example_plays_packets(assets):
+    """The stream example consumes generated packets and produces audio."""
+    from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+
+    st = _load("stream")
+    ev = np.array(
+        [[0.0, 0.05, 36.0, 1.0], [1.0, 0.30, 38.0, 0.9]], np.float32
+    )
+    blob = encode_events("kick", ev[:1]) + encode_events("snare", ev[1:])
+    st.fb.append_streams(PacketDecoder().feed(blob))
+    st.fb.set_time(0)
+    audio = np.asarray(st.compiled.render_window(st.fb, 4))
+    assert np.all(np.isfinite(audio))
+    assert np.max(np.abs(audio)) > 1e-4

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from termdaw_tpu.engine.plugins import PluginHost, AddPluginError
 from termdaw_tpu.ops.fx import (
     EFFECTS, resolve_uri, resolve_param, feedback_line, max_decay_scan,
+    static_values,
 )
 
 SR = 8000
@@ -24,9 +25,11 @@ def process(kind, x, params=None, state=None, sr=SR):
     p = dict(eff.defaults)
     if params:
         p.update(params)
-    p = {k: jnp.float32(v) for k, v in p.items()}
-    st = state if state is not None else eff.init_state(sr)
-    fn = jax.jit(lambda x, st, p: eff.process(x, st, p, sr))
+    static = static_values(eff, p)
+    p = {k: jnp.float32(v) for k, v in p.items()
+         if k not in eff.static_params}
+    st = state if state is not None else eff.init_state(sr, static)
+    fn = jax.jit(lambda x, st, p: eff.process(x, st, p, sr, static))
     return fn(jnp.asarray(x), st, p)
 
 
@@ -84,9 +87,9 @@ class TestEffects:
         x = rng.normal(size=(1024, 2)).astype(np.float32) * 0.2
         full, _ = process("reverb", x)
         eff = EFFECTS["reverb"]
-        st = eff.init_state(SR)
+        st = eff.init_state(SR, {})
         p = {k: jnp.float32(v) for k, v in eff.defaults.items()}
-        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR))
+        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR, {}))
         parts = []
         for i in range(0, 1024, 256):
             y, st = fn(jnp.asarray(x[i : i + 256]), st)
@@ -131,6 +134,39 @@ class TestEffects:
         d = int(0.125 * SR)
         assert abs(y[100 + d, 0]) > 0.4   # first echo
         assert abs(y[100 + 2 * d, 0]) > 0.2  # second echo
+
+    def test_delay_exact_comb_high_feedback(self):
+        """Impulse response must match the exact comb y[t]=x[t]+fb*y[t-D]
+        for fb=0.9 far beyond any truncated echo horizon (VERDICT r1 #6)."""
+        fb, time_ms = 0.9, 50.0
+        D = int(round(time_ms / 1000.0 * SR))
+        n_echo = 20
+        x = np.zeros((D * (n_echo + 1), 2), np.float32)
+        x[0] = 1.0
+        y, _ = process("delay", x, {"time": time_ms, "feedback": fb})
+        y = a(y)
+        for k in range(n_echo + 1):
+            np.testing.assert_allclose(
+                y[k * D, 0], fb ** k, rtol=1e-3,
+                err_msg=f"echo {k} wrong",
+            )
+        # nothing between echoes
+        assert abs(y[D // 2, 0]) < 1e-6
+
+    def test_delay_chains_across_windows(self, rng):
+        x = rng.normal(size=(1200, 2)).astype(np.float32) * 0.3
+        prm = {"time": 37.5, "feedback": 0.8}
+        full, _ = process("delay", x, prm)
+        eff = EFFECTS["delay"]
+        static = static_values(eff, {**eff.defaults, **prm})
+        st = eff.init_state(SR, static)
+        p = {"feedback": jnp.float32(0.8)}
+        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR, static))
+        parts = []
+        for i in range(0, 1200, 300):
+            y, st = fn(jnp.asarray(x[i : i + 300]), st)
+            parts.append(a(y))
+        np.testing.assert_allclose(np.concatenate(parts), a(full), atol=1e-4)
 
     def test_bitcrush(self):
         x = np.linspace(-1, 1, 100, dtype=np.float32)[:, None].repeat(2, 1)
@@ -193,9 +229,9 @@ class TestEq3AndFlanger:
         x = rng.normal(size=(512, 2)).astype(np.float32) * 0.3
         full, _ = process("flanger", x)
         eff = EFFECTS["flanger"]
-        st = eff.init_state(SR)
+        st = eff.init_state(SR, {})
         p = {k: jnp.float32(v) for k, v in eff.defaults.items()}
-        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR))
+        fn = jax.jit(lambda x, st: eff.process(x, st, p, SR, {}))
         parts = []
         for i in range(0, 512, 128):
             y, st = fn(jnp.asarray(x[i : i + 128]), st)

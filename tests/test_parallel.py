@@ -1,13 +1,12 @@
 """Multi-chip sharding tests.
 
 The ambient axon sitecustomize (PYTHONPATH) breaks
---xla_force_host_platform_device_count, so the virtual-mesh run happens in
-a scrubbed subprocess, mirroring how the driver exercises
-__graft_entry__.dryrun_multichip.
+--xla_force_host_platform_device_count, so dryrun_multichip self-scrubs:
+it re-execs its body in a subprocess with PYTHONPATH stripped and
+JAX_PLATFORMS=cpu. These tests call it exactly like the driver does —
+from a polluted environment — to prove the self-scrubbing works.
 """
 
-import os
-import subprocess
 import sys
 from pathlib import Path
 
@@ -16,23 +15,24 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _run_dryrun(n, capsys):
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip ok" in out
+
+
 @pytest.mark.slow
-def test_dryrun_multichip_4dev():
-    env = {
-        k: v for k, v in os.environ.items()
-        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["TERMDAW_COLOR"] = "0"
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, '.');"
-         "import __graft_entry__ as ge; ge.dryrun_multichip(4)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
-    )
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "dryrun_multichip ok" in proc.stdout
+def test_dryrun_multichip_4dev(capsys):
+    _run_dryrun(4, capsys)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8dev(capsys):
+    """The driver runs 8 virtual devices; match it."""
+    _run_dryrun(8, capsys)
 
 
 def test_entry_compiles():

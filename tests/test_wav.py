@@ -80,3 +80,23 @@ def test_bad_file(tmp_path):
     p.write_bytes(b"not a wav file")
     with pytest.raises(WavError):
         read_wav(p)
+
+
+def test_odd_interleaved_tail_pushed_to_left(tmp_path):
+    """A stereo data chunk with an odd value count: the dangling value
+    becomes a final L frame (sample.rs:283-292), R zero-filled."""
+    import struct
+
+    vals = np.array([100, -100, 200, -200, 300], dtype="<i2")  # odd count
+    data = vals.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = tmp_path / "odd.wav"
+    p.write_bytes(blob)
+    audio, spec = read_wav(p, scale=False)
+    assert audio.shape == (3, 2)
+    np.testing.assert_array_equal(audio[2], [300.0, 0.0])

@@ -31,6 +31,8 @@ PATTERNS = {
     "kick": ([36], "x...x...x...x..."),
     "snare": ([38], "....x.......x..."),
     "hat": ([42], "x.x.x.x.x.x.x.x."),
+    "hihat": ([42], "x.x.x.x.x.x.x.x."),
+    "ride": ([51], "x...x...x...x..."),
     "bass": ([33, 36, 31, 38], "x.......x......."),
     "chords": ([60, 64, 67], "x..............."),
 }
