@@ -14,6 +14,7 @@ from pathlib import Path
 from .config import Config, WorkFlow
 from .engine.sink import make_sink
 from .engine.state import State
+from .utils.jaxcache import enable_persistent_compile_cache
 from .utils.term import DEFAULT, BLUE, RED
 from .workflows.stream import run_stream_workflow
 from .workflows.ui import run_ui_workflow
@@ -22,6 +23,7 @@ from .workflows.ui import run_ui_workflow
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     wdir = argv[0] if argv else "./"
+    enable_persistent_compile_cache()
     try:
         config = Config.read(Path(wdir) / "project.toml")
     except (OSError, KeyError, ValueError) as e:

@@ -51,20 +51,18 @@ RENDER_WINDOW_BLOCKS = 512
 
 
 def _finish_render_impl(windows, psr: int, render_sr: int, bd: int):
+    """One-shot finisher (kept for tests/tools): concat -> resample ->
+    quantize in a single device call."""
     import jax.numpy as jnp
 
     audio = jnp.concatenate(windows, axis=0)
     if psr > render_sr:
-        audio = _resample_traced(audio, psr, render_sr)
+        from ..ops.resample import resample_device
+
+        audio = resample_device(audio, psr, render_sr)
     from ..ops.quantize import quantize_interleave_traced
 
     return quantize_interleave_traced(audio, bd)
-
-
-def _resample_traced(audio, psr, render_sr):
-    from ..ops.resample import resample_device
-
-    return resample_device(audio, psr, render_sr)
 
 
 import jax as _jax
@@ -532,28 +530,54 @@ class State:
         # repeated renders behave identically
         self.fb.set_time(cg.get_time())
 
-        windows = []
-        left = self.cs
         with span("render windows"), device_trace("render"):
-            while left > 0:
-                nb = min(left, RENDER_WINDOW_BLOCKS)
-                windows.append(cg.render_window(self.fb, nb))
-                self.fb.advance_blocks(nb)
-                left -= nb
+            chunks = self.render_device()
 
         writer = WavWriter(
             self._resolve(self.output_file), 2, self.render_sr, self.bd
         )
-        if windows:
-            # one fused device call: concat -> (resample) -> quantize, then a
-            # single device->host fetch (syncs over the TPU tunnel are ~30 ms
-            # each; transfers dominate the steady-state render time)
-            with span("render tail+fetch"):
-                ints = np.asarray(
-                    _finish_render(tuple(windows), psr, self.render_sr, self.bd)
-                )
-            with span("wav write"):
-                writer.write_ints(ints)
+        with span("render fetch+write"):
+            for ints in chunks:
+                writer.write_ints(np.asarray(ints))
         writer.close()
         cg.set_time(0)
         print(f"{GREEN}Ok: done rendering.{DEFAULT}")
+
+    def render_device(self, issue_fetch: bool = True) -> list:
+        """The device side of a render: window-by-window graph evaluation,
+        streamed resample (exactly-chunked polyphase, ops/resample.py) and
+        quantize per window, with each finished chunk's device->host copy
+        issued asynchronously so the fetch of chunk k rides under the
+        compute of chunk k+1 (the tunnel transfer is the end-to-end
+        bottleneck here; on-host deployments overlap the PCIe copy the same
+        way). Returns the ordered device int chunks; graph time is
+        advanced, not reset."""
+        from ..ops.quantize import quantize_interleave
+        from ..ops.resample import StreamingResampler
+
+        psr = self.config.settings.project_samplerate
+        cg = self.compiled
+        rs = (
+            StreamingResampler(psr, self.render_sr)
+            if psr > self.render_sr else None
+        )
+        chunks: list = []
+
+        def finish(part) -> None:
+            if part.shape[0] == 0:
+                return
+            ints = quantize_interleave(part, self.bd)
+            if issue_fetch:
+                ints.copy_to_host_async()
+            chunks.append(ints)
+
+        left = self.cs
+        while left > 0:
+            nb = min(left, RENDER_WINDOW_BLOCKS)
+            win = cg.render_window(self.fb, nb)
+            self.fb.advance_blocks(nb)
+            left -= nb
+            finish(rs.feed(win) if rs is not None else win)
+        if rs is not None:
+            finish(rs.flush())
+        return chunks

@@ -186,3 +186,124 @@ def resample_sample(x: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
     if from_sr == to_sr:
         return x
     return np.asarray(resample_device(jnp.asarray(x), from_sr, to_sr))
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) resample — exact
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("rows", "K", "M", "trail", "keep"))
+def _stream_step(
+    tail: jnp.ndarray, x: jnp.ndarray, W: jnp.ndarray,
+    rows: int, K: int, M: int, trail: int, keep: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming chunk: concat carry + new input, emit `rows` polyphase
+    rows (each L outputs), retain the last `keep` frames as the next carry.
+    Same window-slab matmul as _polyphase_jit; static ints are pure host
+    arithmetic so no device sync is ever needed for bookkeeping."""
+    c = x.shape[1]
+    buf = jnp.concatenate([tail, x], axis=0)
+    n_slabs = -(-K // M)
+    # slab construction reads up to (n_slabs-1+rows)*M; elements past each
+    # row's K-window are sliced off below, but dynamic_slice must never
+    # clamp (that would shift valid data), so guarantee the length
+    need = max((n_slabs - 1 + rows) * M, rows * M + keep)
+    grow = max(trail, need - int(buf.shape[0]))
+    if grow > 0:
+        buf = jnp.pad(buf, ((0, grow), (0, 0)))
+    slabs = [
+        jax.lax.dynamic_slice_in_dim(buf, s * M, rows * M, axis=0)
+        .reshape(rows, M, c)
+        for s in range(n_slabs)
+    ]
+    X = jnp.concatenate(slabs, axis=1)[:, :K, :]  # [rows, K, C]
+    out = jnp.einsum(
+        "qkc,kl->qlc", X, W, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    L = W.shape[1]
+    new_tail = jax.lax.dynamic_slice_in_dim(
+        buf, rows * M, keep, axis=0
+    ) if keep else buf[:0]
+    return out.reshape(rows * L, c), new_tail
+
+
+@jax.jit
+def _stream_append(tail: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([tail, x], axis=0)
+
+
+class StreamingResampler:
+    """Chunked polyphase resample with carried state — mathematically
+    identical to `resample_device` on the full concatenation (the FIR is
+    local; the carry keeps exactly the halo the next chunk's windows reach
+    back for). Observed difference is only float32 reduction-order
+    rounding (~1e-6 abs — below one LSB even at 24-bit), because XLA tiles
+    the einsum differently per chunk shape.
+
+    This is the TPU analog of rubato's chunked `SincFixedIn` streaming that
+    the reference render uses (state.rs:533-561), minus its chunk-edge
+    artifacts: chunking here is exact by construction (verified in
+    tests/test_ops.py). Feed device windows, get device output chunks
+    (possibly empty); `flush()` zero-pads the tail and emits the rest so
+    total output length == ceil(total_in * to/from).
+
+    All row/offset bookkeeping is host-side integer arithmetic — no device
+    round-trips; with uniform window sizes the (tail_len, rows) signature
+    cycles through a handful of values, so only a few programs compile.
+    """
+
+    def __init__(self, from_sr: int, to_sr: int, channels: int = 2) -> None:
+        w, L, M = polyphase_kernel(from_sr, to_sr)
+        self.L, self.M, self.K = L, M, w.shape[2]
+        self.W = jnp.asarray(w[:, 0, :].T)  # [K, L]
+        self.channels = channels
+        lead = SINC_LEN // 2 - 1
+        self.tail = jnp.zeros((lead, channels), jnp.float32)
+        self.avail = lead   # padded-stream frames held = len(tail)
+        self.q_done = 0     # rows emitted (row q covers xp[q*M : q*M+K])
+        self.n_in = 0       # raw frames fed
+        self.n_emitted = 0
+
+    def feed(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Feed [n, C]; returns the ready output chunk [m, C] (m may be 0)."""
+        self.n_in += int(x.shape[0])
+        self.avail += int(x.shape[0])
+        q_ready = self.q_done
+        if self.avail >= self.K:
+            q_ready = max(self.q_done, (self.avail - self.K) // self.M + 1)
+        return self._step(x, q_ready, trail=0)
+
+    def flush(self) -> jnp.ndarray:
+        """Emit everything left (zero-padded tail), completing the exact
+        whole-signal output length ceil(n_in * L / M)."""
+        n_out_total = math.ceil(self.n_in * self.L / self.M)
+        q_total = -(-n_out_total // self.L)
+        rows = q_total - self.q_done
+        if rows <= 0:
+            return jnp.zeros((0, self.channels), jnp.float32)
+        # semantic end-of-signal zero padding so every remaining row's
+        # K-window is defined
+        trail = max(0, (q_total - 1) * self.M + self.K - self.avail)
+        emitted_before = self.n_emitted
+        out = self._step(
+            jnp.zeros((0, self.channels), jnp.float32), q_total, trail=trail
+        )
+        return out[: n_out_total - emitted_before]
+
+    def _step(self, x: jnp.ndarray, q_ready: int, trail: int) -> jnp.ndarray:
+        rows = q_ready - self.q_done
+        if rows <= 0:
+            if x.shape[0]:
+                self.tail = _stream_append(self.tail, x)
+            return jnp.zeros((0, self.channels), jnp.float32)
+        # buffer holds padded-stream frames [q_done*M, avail+trail); after
+        # emitting through row q_ready-1 keep from q_ready*M on
+        keep = max(0, self.avail + trail - q_ready * self.M)
+        out, self.tail = _stream_step(
+            self.tail, x, self.W, rows, self.K, self.M, trail, keep
+        )
+        self.avail = q_ready * self.M + keep
+        self.q_done = q_ready
+        self.n_emitted += int(out.shape[0])
+        return out

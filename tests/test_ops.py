@@ -280,3 +280,34 @@ class TestResample:
 
         x = np.random.default_rng(0).normal(size=(100, 2)).astype(np.float32)
         np.testing.assert_array_equal(resample_sample(x, 48000, 48000), x)
+
+    @pytest.mark.parametrize(
+        "from_sr,to_sr", [(48000, 44100), (96000, 48000), (44100, 48000)]
+    )
+    def test_streaming_equals_whole(self, from_sr, to_sr, rng):
+        """Chunked StreamingResampler output must equal the one-shot
+        resample of the concatenation to float32 reduction-order rounding
+        (exact chunking — replaces the whole-bounce-only deviation,
+        state.rs:533-561). 1e-5 is well below one 16-bit LSB (3.05e-5)."""
+        import jax.numpy as jnp
+        from termdaw_tpu.ops.resample import (
+            StreamingResampler, resample_device,
+        )
+
+        n = 20000
+        x = rng.normal(size=(n, 2)).astype(np.float32)
+        whole = np.asarray(resample_device(jnp.asarray(x), from_sr, to_sr))
+
+        for chunks in ([4096] * 4 + [n - 4 * 4096], [1000, 7000, 12000],
+                       [n]):
+            sr_ = StreamingResampler(from_sr, to_sr)
+            outs = []
+            i = 0
+            for cn in chunks:
+                outs.append(np.asarray(sr_.feed(jnp.asarray(x[i:i + cn]))))
+                i += cn
+            assert i == n
+            outs.append(np.asarray(sr_.flush()))
+            got = np.concatenate(outs, axis=0)
+            assert got.shape == whole.shape, (got.shape, whole.shape)
+            np.testing.assert_allclose(got, whole, atol=1e-5)
