@@ -91,6 +91,16 @@ class FlowwBank:
         self.start_indices: list[int] = []
         self.names: dict[str, int] = {}
         self.stream_list: list[int] = []
+        self._frames_cache: list[np.ndarray | None] = []
+
+    def _event_frames(self, i: int) -> np.ndarray:
+        """Cached event_frames per floww (invalidated on mutation) — the
+        uncached version dominated multi-track render host time."""
+        c = self._frames_cache[i]
+        if c is None:
+            c = event_frames(self.flowws[i], self.sr)
+            self._frames_cache[i] = c
+        return c
 
     # -- registration (reference floww.rs:23-64) ---------------------------
     def reset(self) -> None:
@@ -99,11 +109,13 @@ class FlowwBank:
         self.start_indices.clear()
         self.names.clear()
         self.stream_list.clear()
+        self._frames_cache.clear()
 
     def declare_floww(self, name: str, events: np.ndarray) -> int:
         events = np.asarray(events, dtype=np.float32).reshape(-1, 4)
         self.flowws.append(events)
         self.start_indices.append(0)
+        self._frames_cache.append(None)
         index = len(self.flowws) - 1
         self.names[name] = index
         return index
@@ -137,6 +149,7 @@ class FlowwBank:
                     continue
                 ev = pkt.events if pkt.events is not None else np.zeros((0, 4), np.float32)
                 self.flowws[idx] = np.concatenate([self.flowws[idx], ev], axis=0)
+                self._frames_cache[idx] = None
         return msgs
 
     def trim_streams(self) -> None:
@@ -146,19 +159,19 @@ class FlowwBank:
             if s > 0:
                 self.flowws[index] = self.flowws[index][s:]
                 self.start_indices[index] = 0
+                self._frames_cache[index] = None
 
     def get_index(self, name: str) -> int | None:
         return self.names.get(name)
 
     # -- time cursor (reference floww.rs:70-96) ----------------------------
     def _set_start_indices_to_frame(self, t_frame: int, do_skip: bool) -> None:
-        for i, floww in enumerate(self.flowws):
+        for i in range(len(self.flowws)):
             skip = self.start_indices[i] if do_skip else 0
-            frames = event_frames(floww, self.sr)
-            for j in range(skip, len(frames)):
-                if frames[j] >= t_frame:
-                    self.start_indices[i] = j
-                    break
+            frames = self._event_frames(i)
+            hit = np.nonzero(frames[skip:] >= t_frame)[0]
+            if hit.size:
+                self.start_indices[i] = skip + int(hit[0])
             # quirk preserved: if no event is at/after t_frame the start
             # index is left unchanged (reference floww.rs:70-81)
 
@@ -171,8 +184,39 @@ class FlowwBank:
         self._set_start_indices_to_frame(self.frame, do_skip=True)
 
     def advance_blocks(self, n: int) -> None:
-        for _ in range(n):
-            self.set_time_to_next_block()
+        """Advance the cursor by n blocks — the exact composition of n
+        `set_time_to_next_block` calls, vectorized per floww (the stepped
+        version was O(blocks x flowws x events) and dominated multi-track
+        render host time; equivalence is property-tested).
+
+        Composition of the reference's per-block skip (floww.rs:70-91):
+        indices move monotonically to the first event at/after each block
+        boundary, so the final index is the first event at/after the LAST
+        boundary that still has one — boundaries beyond every event leave
+        the index unchanged (quirk above).
+        """
+        if n <= 0:
+            return
+        t_final = self.frame + n * self.bl
+        for i in range(len(self.flowws)):
+            frames = self._event_frames(i)
+            s0 = self.start_indices[i]
+            tail = frames[s0:]
+            if tail.size == 0:
+                continue
+            hit = np.nonzero(tail >= t_final)[0]
+            if hit.size:
+                self.start_indices[i] = s0 + int(hit[0])
+                continue
+            # no event reaches the final boundary: land on the largest
+            # boundary some event does reach
+            k = (int(tail.max()) - self.frame) // self.bl
+            if k >= 1:
+                tk = self.frame + k * self.bl
+                hit2 = np.nonzero(tail >= tk)[0]
+                if hit2.size:
+                    self.start_indices[i] = s0 + int(hit2[0])
+        self.frame = t_final
 
     # -- baking (block-pull semantics, event-wise) -------------------------
     def bake_drum(self, index: int, n_blocks: int) -> DrumBake:
@@ -188,7 +232,7 @@ class FlowwBank:
         if index >= len(self.flowws):
             return DrumBake.empty()
         events = self.flowws[index]
-        frames = event_frames(events, self.sr)
+        frames = self._event_frames(index)
         vels = events[:, 3] if len(events) else np.zeros((0,), np.float32)
         notes = events[:, 2] if len(events) else np.zeros((0,), np.float32)
         n_ev = len(frames)
@@ -244,7 +288,7 @@ class FlowwBank:
         if index >= len(self.flowws):
             return SimpleBake.empty()
         events = self.flowws[index]
-        frames = event_frames(events, self.sr)
+        frames = self._event_frames(index)
         n_ev = len(frames)
         s = self.start_indices[index]
         out_f: list[int] = []

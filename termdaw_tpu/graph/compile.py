@@ -137,7 +137,10 @@ class CompiledGraph:
         self.wavetables: list[tuple[jnp.ndarray, jnp.ndarray]] = []
         import os as _os
 
-        self.use_pallas = (
+        self.pallas_interpret = (
+            _os.environ.get("TERMDAW_PALLAS_INTERPRET", "0") == "1"
+        )
+        self.use_pallas = self.pallas_interpret or (
             jax.default_backend() == "tpu"
             and _os.environ.get("TERMDAW_PALLAS", "1") == "1"
         )
@@ -218,6 +221,49 @@ class CompiledGraph:
                 ).items()))
             self.statics[vi] = _VertexStatic(**kw)
 
+        # fused SampleMulti groups: all SAMPLEMULTI vertices whose ONLY
+        # consumer is the same summing vertex fold into one stereo voice-mix
+        # kernel call at that consumer (per-vertex pan/gain folds into
+        # per-voice channel amps — mix.post is linear per channel). A
+        # 64-track mix becomes 1 kernel invocation instead of 64. Semantics
+        # unchanged (extensions.rs:343-381); input-summation order inside
+        # the group commutes up to f32 rounding.
+        consumers: dict[int, list[int]] = {vi: [] for vi in self.order}
+        for vi in self.order:
+            for j in self.in_edges[vi]:
+                consumers[j].append(vi)
+        self.fused_groups: dict[int, tuple[int, ...]] = {}
+        if self.use_pallas:
+            cand: dict[int, list[int]] = {}
+            for vi in self.order:
+                if (
+                    self.statics[vi].kind == G.SAMPLEMULTI
+                    and vi != self.output
+                    and len(consumers[vi]) == 1
+                ):
+                    cand.setdefault(consumers[vi][0], []).append(vi)
+            self.fused_groups = {
+                c: tuple(ms) for c, ms in cand.items() if len(ms) >= 2
+            }
+        self._fused_members = frozenset(
+            m for ms in self.fused_groups.values() for m in ms
+        )
+        # per-group concat-buffer layout: unique sample positions in member
+        # order, each segment's base offset within the concatenated padded
+        # buffer (segments keep make_padded_sample's layout)
+        self._fused_layout: dict[int, tuple[tuple[int, ...], dict[int, int]]] = {}
+        for c, ms in self.fused_groups.items():
+            poses: list[int] = []
+            for m in ms:
+                p = self.statics[m].sample_pos
+                if p not in poses:
+                    poses.append(p)
+            bases, off = {}, 0
+            for p in poses:
+                bases[p] = off
+                off += int(self.samples_padded[p].shape[1])
+            self._fused_layout[c] = (tuple(poses), bases)
+
         # cross-refresh program-cache key: the jitted window programs depend
         # only on this signature (plus window size / scan flag / bake
         # layouts), so a refresh that doesn't change the topology or static
@@ -225,7 +271,7 @@ class CompiledGraph:
         # (the reference's refresh has no compile step to amortize;
         # state.rs:50-471)
         self.spec = (
-            bl, sr, self.use_pallas,
+            bl, sr, self.use_pallas, self.pallas_interpret,
             tuple(self.order),
             tuple(tuple(self.in_edges[vi]) for vi in self.order),
             self.output,
@@ -366,7 +412,7 @@ class CompiledGraph:
         them). Advances graph time and all carried state. Returns device
         audio [nb*bl, 2]."""
         t0 = self.t
-        bakes, new_carries = self._bake_all(fb, t0, nb)
+        bakes, new_carries = self._bake_all(fb, t0, nb, fused=self.use_pallas)
         ints_buf, floats_buf, layout = _pack_bakes(bakes)
         fx_vec, fx_layout = self._pack_fx()
 
@@ -490,8 +536,15 @@ class CompiledGraph:
         self.graph.t = self.t
         return audio.reshape(nb_total * self.bl, 2)
 
-    def _bake_all(self, fb: FlowwBank, t0: int, nb: int):
-        """Host-side event baking for a window (shared by both paths)."""
+    def _bake_all(
+        self, fb: FlowwBank, t0: int, nb: int, fused: bool = False
+    ):
+        """Host-side event baking for a window (shared by both paths).
+        With fused=True (the single-device Pallas path), each SampleMulti
+        group's per-vertex tables are additionally merged into one COMPACT
+        voice table (only voices that actually intersect each block) — the
+        kernel's work becomes proportional to live voices, not to
+        vertices x padded slots."""
         bakes: dict[str, dict[str, jnp.ndarray]] = {}
         new_carries: dict[int, Any] = {}
         for vi, carry in self.carries.items():
@@ -529,7 +582,70 @@ class CompiledGraph:
                 continue
             bakes[key] = tbl  # numpy; upload happens packed (see _pack_bakes)
             new_carries[vi] = nc
+        if fused:
+            for consumer, members in self.fused_groups.items():
+                bakes[f"fused{consumer}"] = self._merge_group(
+                    bakes, consumer, members, t0, nb
+                )
         return bakes, new_carries
+
+    def _merge_group(self, bakes, consumer: int, members, t0: int, nb: int):
+        """Compact merged voice table for one fused group (host numpy).
+
+        Emits (begins [nb,Pf] in concat-buffer coords, vel [nb,Pf],
+        member [nb,Pf] index into `members`), keeping only voices whose
+        sample span intersects the block; Pf is the padded-pow2 max live
+        count. Exact: dropped slots read zeros / have vel 0."""
+        bl = self.bl
+        _, bases = self._fused_layout[consumer]
+        block_starts = t0 + np.arange(nb, dtype=np.int64) * bl
+        ks, bs, vs, ms = [], [], [], []
+        for mi, m in enumerate(members):
+            tbl = bakes[str(m)]
+            idx = np.asarray(tbl["idx"])
+            mask = idx >= 0
+            if not mask.any():
+                continue
+            st_m = self.statics[m]
+            starts = np.asarray(tbl["starts"], np.int64)[
+                np.clip(idx, 0, None)
+            ]
+            off = block_starts[:, None] - starts  # [nb, P]
+            act = mask & (off + bl > 0) & (off < st_m.sample_len)
+            kk, pp = np.nonzero(act)
+            if not len(kk):
+                continue
+            ks.append(kk)
+            bs.append(
+                np.clip(off[kk, pp] + bl, 0, st_m.sample_len + bl)
+                + bases[st_m.sample_pos]
+            )
+            vs.append(np.asarray(tbl["vels"], np.float32)[idx[kk, pp]])
+            ms.append(np.full(len(kk), mi, np.int32))
+        if not ks:
+            return {
+                "begins": np.zeros((nb, 1), np.int32),
+                "vel": np.zeros((nb, 1), np.float32),
+                "member": np.zeros((nb, 1), np.int32),
+            }
+        k = np.concatenate(ks)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        b = np.concatenate(bs)[order]
+        v = np.concatenate(vs)[order]
+        mid = np.concatenate(ms)[order]
+        counts = np.bincount(k, minlength=nb)
+        pf = B._pad_pow2(int(counts.max()))
+        pos = np.arange(len(k)) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        begins = np.zeros((nb, pf), np.int32)
+        vel = np.zeros((nb, pf), np.float32)
+        member = np.zeros((nb, pf), np.int32)
+        begins[k, pos] = b
+        vel[k, pos] = v
+        member[k, pos] = mid
+        return {"begins": begins, "vel": vel, "member": member}
 
     # -- program construction -------------------------------------------------
     def _get_fn(self, nb: int, is_scan: bool, layout: tuple, fx_layout: tuple):
@@ -550,6 +666,41 @@ class CompiledGraph:
             self._jit_cache[key] = jax.jit(packed)
         return self._jit_cache[key]
 
+    def _fused_mix(
+        self, consumer: int, members, bakes, params, nb: int,
+        samples_padded,
+    ) -> jnp.ndarray:
+        """One stereo voice-mix kernel call for a whole SampleMulti group.
+
+        The bake stage already merged the members' voices into one compact
+        per-block table (see _merge_group) — kernel work scales with live
+        voices, not vertices. Per-vertex pan/gain (traced) folds into
+        per-voice channel amps here; vertices over different samples read
+        one concatenated padded buffer via per-segment base offsets."""
+        from ..ops.pallas_voices import sample_multi_pallas_stereo
+
+        gains, angles, _ = params
+        poses, _bases = self._fused_layout[consumer]
+        if len(poses) == 1:
+            buf = samples_padded[self.padded_order.index(poses[0])]
+        else:
+            buf = jnp.concatenate(
+                [samples_padded[self.padded_order.index(p)] for p in poses],
+                axis=1,
+            )
+        tbl = bakes[f"fused{consumer}"]
+        amps = jnp.stack(
+            [mix.post_amps(angles[m], gains[m]) for m in members]
+        )  # [V, 2]
+        member = tbl["member"]
+        return sample_multi_pallas_stereo(
+            buf,
+            tbl["begins"],
+            tbl["vel"] * amps[member, 0],
+            tbl["vel"] * amps[member, 1],
+            nb, self.bl, interpret=self.pallas_interpret,
+        )
+
     def _program(
         self, num_state, params, bakes, samples, samples_padded, wts,
         fx_params, t0,
@@ -566,11 +717,23 @@ class CompiledGraph:
             frames = t0 + dev * T + jnp.arange(T, dtype=jnp.int32)
         bufs: dict[int, jnp.ndarray] = {}
         ns = dict(num_state)
+        fused_on = self.use_pallas and axis_name is None
 
         for vi in self.order:
             st = self.statics[vi]
             kind = st.kind
-            ins = [bufs[j] for j in self.in_edges[vi]]
+            if fused_on and vi in self._fused_members:
+                continue  # mixed directly at the consumer (fused kernel)
+            ins = []
+            for j in self.in_edges[vi]:
+                if fused_on and j in self._fused_members:
+                    members = self.fused_groups[vi]
+                    if j == members[0]:
+                        ins.append(self._fused_mix(
+                            vi, members, bakes, params, nb, samples_padded,
+                        ))
+                    continue
+                ins.append(bufs[j])
             if G.HAS_INPUT[kind]:
                 x = mix.sum_inputs(ins) if ins else jnp.zeros((T, 2), jnp.float32)
             else:
@@ -607,7 +770,10 @@ class CompiledGraph:
                     padded = samples_padded[
                         self.padded_order.index(st.sample_pos)
                     ]
-                    out = sample_multi_pallas(padded, begins, vvels, nb, bl)
+                    out = sample_multi_pallas(
+                        padded, begins, vvels, nb, bl,
+                        interpret=self.pallas_interpret,
+                    )
                 else:
                     out = sampler.sample_multi(
                         samples[st.sample_pos], bakes[key], frames, nb, bl

@@ -56,6 +56,24 @@ def post(x: jnp.ndarray, angle, gain) -> jnp.ndarray:
     return apply_gain(apply_angle(x, angle), gain)
 
 
+def post_amps(angle, gain) -> jnp.ndarray:
+    """The per-channel linear factor [2] equivalent to `post` — post is
+    linear per channel, so a vertex's pan+gain can fold into upstream
+    per-voice amplitudes (the fused voice-mix kernel). Reproduces the
+    reference's skip thresholds exactly."""
+    angle = jnp.asarray(angle, jnp.float32)
+    gain = jnp.asarray(gain, jnp.float32)
+    rad = angle * DEG_TO_RAD_HALF
+    frac = jnp.float32(0.7071067811865476)
+    amps = jnp.stack([
+        frac * (jnp.cos(rad) + jnp.sin(rad)),
+        frac * (jnp.cos(rad) - jnp.sin(rad)),
+    ])
+    amps = jnp.where(jnp.abs(angle) < 0.001, jnp.ones(2, jnp.float32), amps)
+    g = jnp.where(jnp.abs(gain - 1.0) < 0.001, jnp.float32(1.0), gain)
+    return amps * g
+
+
 def block_maxima(x: jnp.ndarray) -> jnp.ndarray:
     """Per-block |peak| over [nb, bl, 2] -> [nb]."""
     return jnp.max(jnp.abs(x), axis=(1, 2))

@@ -35,7 +35,8 @@ _LANE = 128  # Mosaic requires lane-dim DMA offsets aligned to the tiling
 
 def _voice_mix_kernel(
     begins_ref,  # scalar-prefetch [nb, P] int32 (begin index into padded)
-    vels_ref,    # scalar-prefetch [nb, P] float32
+    velsl_ref,   # scalar-prefetch [nb, P] float32 (left-channel amp)
+    velsr_ref,   # scalar-prefetch [nb, P] float32 (right-channel amp)
     sample_ref,  # [2, Lpad] in ANY/HBM
     out_ref,     # [2, bl] VMEM
     scratch,     # [2, 2, bl + LANE] VMEM double buffer
@@ -68,24 +69,32 @@ def _voice_mix_kernel(
         # positive-equivalent rotate: Mosaic's dynamic roll mis-rotates
         # NEGATIVE shifts on non-power-of-two widths (verified on v5e)
         window = pltpu.roll(scratch[slot], (bl + _LANE) - rem, axis=1)[:, :bl]
-        out_ref[:] = out_ref[:] + window * vels_ref[k, p]
+        amp = jnp.stack([velsl_ref[k, p], velsr_ref[k, p]])[:, None]
+        out_ref[:] = out_ref[:] + window * amp
 
 
 @functools.partial(
     jax.jit, static_argnames=("nb", "bl", "interpret")
 )
-def sample_multi_pallas(
-    sample_padded: jnp.ndarray,  # [2, L + 2*bl] float32 (bl zeros each side)
+def sample_multi_pallas_stereo(
+    sample_padded: jnp.ndarray,  # [2, Lpad] float32 (see make_padded_sample)
     begins: jnp.ndarray,         # [nb, P] int32, pre-clamped in-bounds
-    vels: jnp.ndarray,           # [nb, P] float32 (0 = empty slot)
+    vels_l: jnp.ndarray,         # [nb, P] float32 left amp (0 = empty slot)
+    vels_r: jnp.ndarray,         # [nb, P] float32 right amp
     nb: int,
     bl: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns mixed voices [nb*bl, 2]."""
+    """Returns mixed voices [nb*bl, 2] with per-voice per-channel amps.
+
+    The per-channel amps let a whole group of SampleMulti vertices fuse
+    into ONE kernel call: each vertex's constant-power pan + gain
+    (mix.post, linear per channel) folds into its voices' amps, so a
+    64-track mix is one invocation instead of 64 (graph/compile.py
+    fused groups)."""
     P = begins.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -101,8 +110,22 @@ def sample_multi_pallas(
         out_shape=jax.ShapeDtypeStruct((2, nb * bl), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(begins, vels, sample_padded)
+    )(begins, vels_l, vels_r, sample_padded)
     return out.T  # [nb*bl, 2]
+
+
+def sample_multi_pallas(
+    sample_padded: jnp.ndarray,
+    begins: jnp.ndarray,
+    vels: jnp.ndarray,
+    nb: int,
+    bl: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-vertex entry: equal channel amps."""
+    return sample_multi_pallas_stereo(
+        sample_padded, begins, vels, vels, nb, bl, interpret=interpret
+    )
 
 
 def make_padded_sample(sample: jnp.ndarray, bl: int) -> jnp.ndarray:

@@ -1,14 +1,15 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Bench/production runs on real TPU; tests must be hermetic and exercise the
-multi-device sharding paths, so we force the CPU platform with 8 virtual
-devices BEFORE jax initializes.
+These env vars REQUEST a virtual 8-device CPU platform, and honor it on a
+plain machine (CI). On the axon harness they are overridden by the
+sitecustomize TPU plugin — the suite then runs on the 1 real chip, which
+is fine (more realistic, slower); anything that truly needs CPU or
+multiple virtual devices spawns a PYTHONPATH-scrubbed subprocess
+(tests/test_parallel.py, __graft_entry__.dryrun_multichip).
 """
 
 import os
 
-# force CPU even though the ambient environment sets JAX_PLATFORMS=axon
-# (the real TPU tunnel): tests must be hermetic and deterministic
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -98,3 +98,37 @@ class TestLoadModes:
         sb.add("m", str(p), SampleLoadMethod.LEFT)
         s = sb.get_sample(0)
         np.testing.assert_allclose(s.l, x / np.max(np.abs(x)), atol=1e-5)
+
+
+class TestAdvanceBlocksComposition:
+    def test_advance_blocks_equals_stepping(self, rng):
+        """advance_blocks(n) must equal n single-block steps — including
+        the no-event-after-boundary quirk (floww.rs:70-91) — on random,
+        unsorted, duplicate-laden event sets."""
+        from termdaw_tpu.banks.flowwbank import FlowwBank
+
+        sr, bl = 8000, 64
+        for trial in range(30):
+            n_ev = int(rng.integers(0, 20))
+            times = rng.uniform(-0.1, 2.0, n_ev).astype(np.float32)
+            if trial % 3 == 0:
+                times = np.sort(times)
+            ev = np.stack(
+                [np.zeros(n_ev, np.float32), times,
+                 rng.uniform(30, 90, n_ev).astype(np.float32),
+                 rng.uniform(0, 1, n_ev).astype(np.float32)], axis=1,
+            )
+            fa = FlowwBank(sr, bl)
+            fb_ = FlowwBank(sr, bl)
+            t_start = int(rng.integers(0, 3)) * bl
+            for b in (fa, fb_):
+                b.declare_floww("x", ev)
+                b.set_time(t_start)
+            n = int(rng.integers(1, 40))
+            for _ in range(n):
+                fa.set_time_to_next_block()
+            fb_.advance_blocks(n)
+            assert fa.frame == fb_.frame
+            assert fa.start_indices == fb_.start_indices, (
+                trial, n, times,
+            )

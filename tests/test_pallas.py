@@ -57,3 +57,69 @@ def test_pallas_empty_blocks(rng):
     begins, vels = compute_begin_vel(bake, frames[0], nb, bl, L)
     got = sample_multi_pallas(padded, begins, vels, nb, bl, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+
+def test_fused_group_matches_unfused(tmp_path, monkeypatch, rng):
+    """Several SampleMulti vertices feeding one sum must fuse into a single
+    stereo kernel call (interpret mode) and match the XLA per-vertex path
+    including per-vertex pan/gain (folded into voice amps)."""
+    import sys
+    from pathlib import Path
+
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+    from termdaw_tpu.fileio.wav import write_wav
+    from termdaw_tpu.fileio.midi import write_midi
+
+    sr, bl = 8000, 256
+    for name, f in [("a", 300.0), ("b", 800.0)]:
+        t = np.arange(int(sr * 0.12)) / sr
+        x = (0.7 * np.sin(2 * np.pi * f * t) * np.exp(-t * 12)).astype(
+            np.float32
+        )
+        write_wav(tmp_path / f"{name}.wav", np.stack([x, x], 1), sr, bits=16)
+    write_midi(tmp_path / "m.mid",
+               [(i * 0.11, 0.05, 36, 90 + i) for i in range(8)], bpm=120)
+    (tmp_path / "project.toml").write_text(
+        '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+        f"project_samplerate = {sr}\n"
+    )
+    (tmp_path / "project.lua").write_text(f"""
+set_length(1.0);
+load_midi_floww("m", "{tmp_path}/m.mid");
+load_sample("a", "{tmp_path}/a.wav", "");
+load_sample("b", "{tmp_path}/b.wav", "");
+add_sample_multi("t1", 1.3, -40.0, "a", "m", -1);
+add_sample_multi("t2", 0.7, 25.0, "b", "m", -1);
+add_sample_multi("t3", 1.0, 0.0, "a", "m", -1);
+add_normalize("sum", 1.0, 0.0);
+connect("t1", "sum");
+connect("t2", "sum");
+connect("t3", "sum");
+set_output("sum");
+""")
+
+    def render(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        st = State(Config.read(tmp_path / "project.toml"), str(tmp_path))
+        st.refresh()
+        assert st.loaded
+        st.fb.set_time(0)
+        out = np.asarray(st.compiled.render_window(st.fb, 8))
+        return st, out
+
+    # reference: the XLA gather path (TERMDAW_PALLAS=0 — note in-process
+    # JAX_PLATFORMS=cpu does NOT stick on this harness, the suite runs on
+    # whatever backend the env provides)
+    st_x, ref = render(
+        {"TERMDAW_PALLAS": "0", "TERMDAW_PALLAS_INTERPRET": "0"}
+    )
+    assert not st_x.compiled.fused_groups
+    st_p, got = render({"TERMDAW_PALLAS_INTERPRET": "1"})
+    # the 3 vertices (2 distinct samples) must actually be one group
+    assert list(st_p.compiled.fused_groups.values())[0] == tuple(
+        sorted(st_p.compiled._fused_members)
+    )
+    assert len(st_p.compiled._fused_members) == 3
+    np.testing.assert_allclose(got, ref, atol=2e-5)
