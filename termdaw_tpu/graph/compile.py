@@ -468,20 +468,14 @@ class CompiledGraph:
         TPU-native scaling story: generators are pure functions of the
         global frame index so each device renders its block range
         independently; the only cross-device data is tiny — per-block
-        maxima for Normalize's causal prefix (all_gather over ICI) and the
-        4-lane affine summaries of the band-pass IIR (all_gather + local
-        composition). Numeric state stays replicated.
-
-        PLUGINFX vertices are not yet shardable (their feedback delay
-        lines span shard boundaries); graphs using them raise here.
+        maxima for Normalize's causal prefix (all_gather over ICI), the
+        affine/max-decay/2x2-matrix scan summaries of the IIR filters and
+        effects (exclusive_total boundary composition), per-residue-class
+        summaries for feedback delay lines, and small input halos for the
+        delayed reads (prev_frames). Numeric state stays replicated.
         """
         from jax.sharding import PartitionSpec as P
 
-        for vi in self.order:
-            if self.statics[vi].kind == G.PLUGINFX:
-                raise ValueError(
-                    "sharded rendering does not support pluginfx vertices yet"
-                )
         n_dev = mesh.shape[axis_name]
         if nb_total % n_dev != 0:
             raise ValueError(f"nb_total {nb_total} not divisible by {n_dev}")
@@ -496,7 +490,13 @@ class CompiledGraph:
                 for k in tbl
             }
 
-        key = (self.spec, "sharded", nb_total, is_scan, n_dev)
+        # traced effect params: {vkey: {name: f32}}, replicated
+        fx_vec, fx_layout = self._pack_fx()
+        fx_params: dict[str, dict] = {}
+        for vkey, name, pos in fx_layout:
+            fx_params.setdefault(vkey, {})[name] = np.float32(fx_vec[pos])
+
+        key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout)
         if key not in self._jit_cache:
             state_spec = jax.tree.map(lambda _: P(), self.num_state)
             in_specs = (
@@ -506,7 +506,7 @@ class CompiledGraph:
                 tuple(P(None, None) for _ in self.samples),
                 (),
                 tuple((P(None), P(None, None)) for _ in self.wavetables),
-                {},  # fx_params (empty: no pluginfx in sharded mode)
+                jax.tree.map(lambda _: P(), fx_params),
                 P(),
             )
             out_specs = (state_spec, P(axis_name, None, None))
@@ -527,7 +527,7 @@ class CompiledGraph:
             tuple(self.samples),
             (),
             tuple(self.wavetables),
-            {},
+            fx_params,
             jnp.int32(t0),
         )
         self.num_state = new_state
@@ -812,7 +812,8 @@ class CompiledGraph:
                 from ..ops.fx import EFFECTS
 
                 y, fx_state = EFFECTS[st.fx_kind].process(
-                    x, ns[f"{vi}.fx"], fx_params[key], sr, dict(st.fx_static)
+                    x, ns[f"{vi}.fx"], fx_params[key], sr, dict(st.fx_static),
+                    axis_name=axis_name,
                 )
                 skip = wet < 0.0001
                 out = jnp.where(skip, x, x + wet * (y - x))

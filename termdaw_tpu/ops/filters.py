@@ -118,6 +118,88 @@ def first_order_scan(x: jnp.ndarray, a, y0: jnp.ndarray) -> jnp.ndarray:
     return A_cum * y0 + B_cum
 
 
+# ---------------------------------------------------------------------------
+# cross-device boundary composition (sequence-parallel effects)
+# ---------------------------------------------------------------------------
+
+def exclusive_total(combine, identity, summary: tuple, axis_name: str):
+    """For a monoid scan sharded over `axis_name`: given each device's
+    LOCAL fold `summary` (tuple of arrays, device-local), return
+
+      pre — the fold of all earlier devices' summaries (identity on dev 0),
+      tot — the fold of every device's summary (replicated).
+
+    `pre` applied to the carried global initial state seeds each device's
+    local scan; `tot` applied to it is the next window's carried state —
+    the same trick band_pass_timeline uses, generalized to any monoid
+    (affine, max-decay, 2x2-matrix). Gathered data is one summary per
+    device: tiny, rides ICI."""
+    gathered = tuple(jax.lax.all_gather(s, axis_name) for s in summary)
+    n = gathered[0].shape[0]
+    i = jax.lax.axis_index(axis_name)
+    pre = tuple(
+        jnp.broadcast_to(jnp.asarray(idv, g.dtype), g.shape[1:])
+        for idv, g in zip(identity, gathered)
+    )
+    tot = pre
+    for j in range(n):
+        sj = tuple(g[j] for g in gathered)
+        pre_j = combine(pre, sj)
+        pre = tuple(
+            jnp.where(j < i, pj, p) for pj, p in zip(pre_j, pre)
+        )
+        tot = combine(tot, sj)
+    return pre, tot
+
+
+def first_order_scan_sharded(
+    x: jnp.ndarray, a, y0: jnp.ndarray, axis_name: str | None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded-aware first_order_scan: returns (y_local [T, C],
+    y_final_global [C]) — the final state is the GLOBAL stream's last
+    value, replicated, so carried state stays consistent."""
+    A = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
+    A_cum, B_cum = affine_cumulative(A, x)
+    if axis_name is None:
+        y = A_cum * y0 + B_cum
+        return y, y[-1]
+    (a_pre, b_pre), (a_tot, b_tot) = exclusive_total(
+        lambda l, r: _affine_combine(l, r), (1.0, 0.0),
+        (A_cum[-1], B_cum[-1]), axis_name,
+    )
+    y0_local = a_pre * y0 + b_pre
+    y = A_cum * y0_local + B_cum
+    return y, a_tot * y0 + b_tot
+
+
+def prev_frames(
+    x: jnp.ndarray, tail: jnp.ndarray, axis_name: str | None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The M frames of the global stream immediately preceding this
+    device's local slice, plus the global stream's new last-M tail
+    (replicated). M = tail.shape[0]. Single-device: (tail, updated tail).
+
+    Feeds delayed reads (chorus/flanger/allpass x[t-D]) under timeline
+    sharding: with local T >= M only neighbors' last M frames are needed
+    (one all_gather of M frames per device); with T < M (tiny dryrun
+    shapes) the full local slices are gathered."""
+    T, C = x.shape
+    M = tail.shape[0]
+    if axis_name is None:
+        xcat = jnp.concatenate([tail, x], axis=0)
+        return tail, jax.lax.dynamic_slice_in_dim(xcat, T, M, axis=0)
+    i = jax.lax.axis_index(axis_name)
+    if T >= M:
+        gathered = jax.lax.all_gather(x[-M:], axis_name)  # [n, M, C]
+        halo = jnp.where(i == 0, tail, gathered[jnp.maximum(i - 1, 0)])
+        return halo, gathered[-1]
+    allx = jax.lax.all_gather(x, axis_name)  # [n, T, C]
+    n = allx.shape[0]
+    flat = jnp.concatenate([tail, allx.reshape(n * T, C)], axis=0)
+    halo = jax.lax.dynamic_slice(flat, (i * T, jnp.int32(0)), (M, C))
+    return halo, flat[-M:]
+
+
 def band_pass_timeline(
     x: jnp.ndarray,
     state: BandPassState,
@@ -248,14 +330,18 @@ def biquad_init_state(channels: int = 2) -> jnp.ndarray:
 
 
 def biquad_apply(
-    x: jnp.ndarray, coefs: tuple, state: jnp.ndarray
+    x: jnp.ndarray, coefs: tuple, state: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Direct-form-1 biquad over a window [T, C]; exact cross-window state.
 
     The feedback recurrence y[n] = f[n] - a1*y[n-1] - a2*y[n-2] (with the
     feed-forward part f computed in parallel) is a constant-matrix linear
     recurrence on s[n] = (y[n], y[n-1]) and runs as one tiled associative
-    scan of 2x2 affine maps.
+    scan of 2x2 affine maps. Under `axis_name` the feed-forward taps come
+    from a 2-frame halo exchange (prev_frames) and the feedback state is
+    boundary-composed across devices (exclusive_total) — returned state is
+    the global stream's, replicated.
 
     Precision note: the parallel prefix of near-unit-circle 2x2 maps
     accumulates ~1e-3 relative error in float32 over long windows — fine
@@ -264,9 +350,20 @@ def biquad_apply(
     """
     b0, b1, b2, a1, a2 = [jnp.float32(c) for c in coefs]
     T, C = x.shape
-    x1 = jnp.concatenate([state[0:1], x[:-1]], axis=0)
-    x2 = jnp.concatenate([state[1:2], x1[:-1]], axis=0) if T > 1 else \
-        jnp.broadcast_to(state[1:2], x.shape)
+    if axis_name is None:
+        x1 = jnp.concatenate([state[0:1], x[:-1]], axis=0)
+        x2 = jnp.concatenate([state[1:2], x1[:-1]], axis=0) if T > 1 else \
+            jnp.broadcast_to(state[1:2], x.shape)
+        new_x1, new_x2 = x[-1], (x1[-1] if T > 1 else state[0])
+    else:
+        # halo: the 2 global-stream frames before this device's slice
+        halo, new_tail = prev_frames(
+            x, jnp.stack([state[1], state[0]]), axis_name
+        )
+        xcat = jnp.concatenate([halo, x], axis=0)  # [T+2, C]
+        x1 = xcat[1 : T + 1]
+        x2 = xcat[0:T]
+        new_x1, new_x2 = new_tail[1], new_tail[0]
     f = b0 * x + b1 * x1 + b2 * x2  # [T, C]
 
     M = jnp.broadcast_to(
@@ -281,10 +378,24 @@ def biquad_apply(
     )
     M_cum, v_cum = tiled_cumulative(_mat_combine, ident, (M, v))
     s0 = jnp.stack([state[2], state[3]], axis=0)  # [2, C]
-    Ms0 = jnp.einsum("tij,jc->tic", M_cum, s0,
+    if axis_name is None:
+        s0_local = s0
+        M_fin, v_fin = M_cum[-1], v_cum[-1]
+        s_fin = jnp.einsum(
+            "ij,jc->ic", M_fin, s0, precision=jax.lax.Precision.HIGHEST
+        ) + v_fin
+    else:
+        (m_pre, v_pre), (m_tot, v_tot) = exclusive_total(
+            _mat_combine, ident, (M_cum[-1], v_cum[-1]), axis_name
+        )
+        s0_local = jnp.einsum(
+            "ij,jc->ic", m_pre, s0, precision=jax.lax.Precision.HIGHEST
+        ) + v_pre
+        s_fin = jnp.einsum(
+            "ij,jc->ic", m_tot, s0, precision=jax.lax.Precision.HIGHEST
+        ) + v_tot
+    Ms0 = jnp.einsum("tij,jc->tic", M_cum, s0_local,
                      precision=jax.lax.Precision.HIGHEST)
     y = Ms0[:, 0] + v_cum[:, 0]
-    y_prev = Ms0[:, 1] + v_cum[:, 1]
-    new_state = jnp.stack([x[-1], x1[-1] if T > 1 else state[0],
-                           y[-1], y_prev[-1]], axis=0)
+    new_state = jnp.stack([new_x1, new_x2, s_fin[0], s_fin[1]], axis=0)
     return y, new_state

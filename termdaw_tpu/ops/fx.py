@@ -45,7 +45,9 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .filters import first_order_scan
+from .filters import (
+    exclusive_total, first_order_scan_sharded, prev_frames,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -62,37 +64,90 @@ def max_decay_scan(x: jnp.ndarray, r, y0) -> jnp.ndarray:
     """y[t] = max(x[t], r * y[t-1]) over axis 0 (peak envelope follower).
     Tiled two-level scan (compile-time, see filters.tiled_cumulative);
     identity = (1, -inf) for the (decay, value) monoid."""
+    y, _ = max_decay_scan_sharded(x, r, y0, None)
+    return y
+
+
+def max_decay_scan_sharded(
+    x: jnp.ndarray, r, y0, axis_name: str | None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded-aware max_decay_scan; returns (y_local, y_final_global)."""
     from .filters import tiled_cumulative
 
     A = jnp.broadcast_to(jnp.asarray(r, jnp.float32), x.shape)
     A_cum, B_cum = tiled_cumulative(
         _maxdecay_combine, (1.0, -3.0e38), (A, x)
     )
-    return jnp.maximum(B_cum, A_cum * y0)
+    if axis_name is None:
+        y = jnp.maximum(B_cum, A_cum * y0)
+        return y, y[-1]
+    (a_pre, b_pre), (a_tot, b_tot) = exclusive_total(
+        _maxdecay_combine, (1.0, -3.0e38), (A_cum[-1], B_cum[-1]), axis_name
+    )
+    y0_local = jnp.maximum(b_pre, a_pre * y0)
+    y = jnp.maximum(B_cum, A_cum * y0_local)
+    return y, jnp.maximum(b_tot, a_tot * y0)
+
+
+def _affine(left, right):
+    return left[0] * right[0], right[0] * left[1] + right[1]
 
 
 def feedback_line(
-    x: jnp.ndarray, tail: jnp.ndarray, g, D: int
+    x: jnp.ndarray, tail: jnp.ndarray, g, D: int,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """y[t] = x[t] + g * y[t-D] over a window, with y[-D:] given by `tail`.
 
     x [T, C], tail [D, C] -> (y [T, C], new_tail [D, C]).
     Decomposes into D independent first-order recurrences (residue classes
-    mod D) evaluated by one associative scan of length ceil(T/D)."""
+    mod D) evaluated by one associative scan of length ceil(T/D).
+
+    Under `axis_name` (timeline sharded, local slice = device i's [T, C]):
+    the residue class of local position q is (i*T + q) mod D, so the local
+    elements are placed at a traced offset o = (i*T) mod D inside an
+    identity-padded buffer to re-align classes with the reshape; each
+    device's per-class affine fold is then boundary-composed across
+    devices (filters.exclusive_total), the local scan seeded with the
+    earlier devices' composition applied to the carried global tail, and
+    the replicated new tail read off the total composition."""
     T, C = x.shape
-    rows = -(-T // D)
-    pad = rows * D - T
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    xr = xp.reshape(rows, D, C)
-    A = jnp.broadcast_to(jnp.asarray(g, jnp.float32), xr.shape)
+    if axis_name is None:
+        rows = -(-T // D)
+        pad = rows * D - T
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        xr = xp.reshape(rows, D, C)
+        A = jnp.broadcast_to(jnp.asarray(g, jnp.float32), xr.shape)
+        A_cum, B_cum = jax.lax.associative_scan(_affine, (A, xr), axis=0)
+        y = A_cum * tail[None, :, :] + B_cum  # [rows, D, C]
+        y = y.reshape(rows * D, C)
+        ycat = jnp.concatenate([tail, y[:T]], axis=0)
+        new_tail = jax.lax.dynamic_slice_in_dim(ycat, T, D, axis=0)
+        return y[:T], new_tail
+
+    n_dev = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    o = (i.astype(jnp.int32) * T) % D  # traced phase offset in [0, D)
+    rows = -(-(T + D) // D)
+    P = rows * D
+    A = jnp.ones((P, C), jnp.float32)
+    B = jnp.zeros((P, C), jnp.float32)
+    gfull = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (T, C))
+    A = jax.lax.dynamic_update_slice(A, gfull, (o, jnp.int32(0)))
+    B = jax.lax.dynamic_update_slice(B, x, (o, jnp.int32(0)))
     A_cum, B_cum = jax.lax.associative_scan(
-        lambda l, r: (l[0] * r[0], r[0] * l[1] + r[1]), (A, xr), axis=0
+        _affine, (A.reshape(rows, D, C), B.reshape(rows, D, C)), axis=0
     )
-    y = A_cum * tail[None, :, :] + B_cum  # [rows, D, C]
-    y = y.reshape(rows * D, C)
-    ycat = jnp.concatenate([tail, y[:T]], axis=0)
-    new_tail = jax.lax.dynamic_slice_in_dim(ycat, T, D, axis=0)
-    return y[:T], new_tail
+    (a_pre, b_pre), (a_tot, b_tot) = exclusive_total(
+        _affine, (1.0, 0.0), (A_cum[-1], B_cum[-1]), axis_name
+    )
+    y0c = a_pre * tail + b_pre  # [D, C] per-class seed
+    y = (A_cum * y0c[None] + B_cum).reshape(P, C)
+    y_local = jax.lax.dynamic_slice(y, (o, jnp.int32(0)), (T, C))
+    yfin = a_tot * tail + b_tot  # [D, C]: last occurrence of each class
+    t_total = n_dev * T
+    new_tail = yfin[(t_total + jnp.arange(D)) % D]
+    return y_local, new_tail
 
 
 def delayed_read(
@@ -136,7 +191,8 @@ class EffectDef:
     kind: str
     defaults: dict
     init_state: Callable  # (sr, static) -> state pytree
-    process: Callable  # (x, state, params, sr, static) -> (y, state')
+    process: Callable  # (x, state, params, sr, static, axis_name=None)
+    #   -> (y, state'); axis_name = sequence-parallel mesh axis (sharded)
     # parameter names bound at graph build (host floats — delay-line lengths,
     # biquad coefficients); changing one triggers a rebuild at refresh, which
     # is when `parameter(...)` takes effect anyway (state.rs:305-318). All
@@ -168,7 +224,7 @@ def _reverb_init(sr: int, static: dict) -> dict:
     }
 
 
-def _reverb_process(x, state, params, sr, static):
+def _reverb_process(x, state, params, sr, static, axis_name=None):
     combs, allp = _reverb_lines(sr)
     room = jnp.clip(params["room"], 0.0, 0.98)
     damp = jnp.clip(params["damp"], 0.0, 1.0)
@@ -176,8 +232,9 @@ def _reverb_process(x, state, params, sr, static):
     a = damp * 0.8
     xin = x * 0.25
     b = (1.0 - a) * xin
-    damped = first_order_scan(b, a, state["damp_y0"])
-    new_damp_y0 = damped[-1]
+    damped, new_damp_y0 = first_order_scan_sharded(
+        b, a, state["damp_y0"], axis_name
+    )
 
     acc = jnp.zeros_like(x)
     new_comb_tails = []
@@ -185,7 +242,9 @@ def _reverb_process(x, state, params, sr, static):
         # per-comb feedback slightly varied for density
         g = room * (0.94 + 0.06 * (i % 3) / 2.0)
         # L combs feed L, R combs feed R (interleaved tunings)
-        y, tail = feedback_line(damped, state["comb_tails"][i], g, d)
+        y, tail = feedback_line(
+            damped, state["comb_tails"][i], g, d, axis_name=axis_name
+        )
         new_comb_tails.append(tail)
         ch = i % 2
         acc = acc.at[:, ch].add(y[:, ch])
@@ -197,11 +256,13 @@ def _reverb_process(x, state, params, sr, static):
         # allpass: y[t] = g*y[t-D] + x[t-D] - g*x[t]
         gap = 0.5
         T = out.shape[0]
-        xcat = jnp.concatenate([state["ap_x_tails"][i], out], axis=0)
-        xd = xcat[:T]  # x[t - D]
+        halo, x_tail = prev_frames(out, state["ap_x_tails"][i], axis_name)
+        xd = jnp.concatenate([halo, out], axis=0)[:T]  # x[t - D]
         u = xd - gap * out
-        y, ytail = feedback_line(u, state["ap_y_tails"][i], gap, d)
-        new_ap_x.append(_update_tail(out, state["ap_x_tails"][i]))
+        y, ytail = feedback_line(
+            u, state["ap_y_tails"][i], gap, d, axis_name=axis_name
+        )
+        new_ap_x.append(x_tail)
         new_ap_y.append(ytail)
         out = y
     return out, {
@@ -225,24 +286,35 @@ def _chorus_init(sr: int, static: dict) -> dict:
             "t0": jnp.zeros((), jnp.float32)}
 
 
-def _chorus_process(x, state, params, sr, static):
+def _local_time(t0, T: int, sr: int, axis_name):
+    """Per-device local time axis + the (replicated) next-window t0."""
+    if axis_name is None:
+        base = t0
+        t0_next = t0 + jnp.float32(T) / jnp.float32(sr)
+    else:
+        n = jax.lax.axis_size(axis_name)
+        i = jax.lax.axis_index(axis_name).astype(jnp.float32)
+        base = t0 + i * (jnp.float32(T) / jnp.float32(sr))
+        t0_next = t0 + jnp.float32(n * T) / jnp.float32(sr)
+    return base + jnp.arange(T, dtype=jnp.float32) / jnp.float32(sr), t0_next
+
+
+def _chorus_process(x, state, params, sr, static, axis_name=None):
     rate = jnp.clip(params["rate"], 0.01, 20.0)
     depth_ms = jnp.clip(params["depth"], 0.0, 15.0)
     base_ms = jnp.clip(params["base"], 1.0, 20.0)
     voices = 3
     T = x.shape[0]
-    t = state["t0"] + jnp.arange(T, dtype=jnp.float32) / jnp.float32(sr)
+    t, t0_next = _local_time(state["t0"], T, sr, axis_name)
+    halo, new_tail = prev_frames(x, state["tail"], axis_name)
     out = jnp.zeros_like(x)
     for v in range(voices):
         ph = 2.0 * math.pi * (v / voices)
         lfo = jnp.sin(2.0 * math.pi * rate * t + ph)
         delay = (base_ms + depth_ms * (0.5 + 0.5 * lfo)) * (sr / 1000.0)
-        out = out + delayed_read(x, state["tail"], delay)
+        out = out + delayed_read(x, halo, delay)
     out = out / voices
-    return out, {
-        "tail": _update_tail(x, state["tail"]),
-        "t0": state["t0"] + jnp.float32(T) / jnp.float32(sr),
-    }
+    return out, {"tail": new_tail, "t0": t0_next}
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +326,7 @@ def _comp_init(sr: int, static: dict) -> dict:
             "smooth": jnp.zeros((), jnp.float32)}
 
 
-def _comp_process(x, state, params, sr, static):
+def _comp_process(x, state, params, sr, static, axis_name=None):
     attack_ms = jnp.maximum(params["attack"], 0.01)
     release_ms = jnp.maximum(params["release"], 1.0)
     thresh_db = params["threshold"]
@@ -264,11 +336,15 @@ def _comp_process(x, state, params, sr, static):
 
     level = jnp.max(jnp.abs(x), axis=1)  # [T]
     r = jnp.exp(-1.0 / (release_ms * 0.001 * sr))
-    env = max_decay_scan(level[:, None], r, state["env"])[:, 0]
+    env2, env_fin = max_decay_scan_sharded(
+        level[:, None], r, state["env"], axis_name
+    )
+    env = env2[:, 0]
     a = jnp.exp(-1.0 / (attack_ms * 0.001 * sr))
-    smooth = first_order_scan(
-        ((1.0 - a) * env)[:, None], a, state["smooth"][None]
-    )[:, 0]
+    smooth2, smooth_fin = first_order_scan_sharded(
+        ((1.0 - a) * env)[:, None], a, state["smooth"][None], axis_name
+    )
+    smooth = smooth2[:, 0]
 
     lvl_db = 20.0 * jnp.log10(jnp.maximum(smooth, 1e-9))
     over = lvl_db - thresh_db
@@ -283,7 +359,7 @@ def _comp_process(x, state, params, sr, static):
     )
     gain = jnp.power(10.0, (gr_db + makeup_db) / 20.0)
     y = x * gain[:, None]
-    return y, {"env": env[-1], "smooth": smooth[-1]}
+    return y, {"env": env_fin[0], "smooth": smooth_fin[0]}
 
 
 # ---------------------------------------------------------------------------
@@ -294,13 +370,15 @@ def _tape_init(sr: int, static: dict) -> dict:
     return {"lp_y0": jnp.zeros(2, jnp.float32)}
 
 
-def _tape_process(x, state, params, sr, static):
+def _tape_process(x, state, params, sr, static, axis_name=None):
     drive = jnp.clip(params["drive"], 0.1, 10.0)
     cutoff = jnp.clip(params["cutoff"], 500.0, 20000.0)
     sat = jnp.tanh(x * drive) / jnp.tanh(drive)
     g = 1.0 - jnp.exp(-2.0 * math.pi * cutoff / sr)
-    y = first_order_scan(g * sat, 1.0 - g, state["lp_y0"])
-    return y, {"lp_y0": y[-1]}
+    y, y_fin = first_order_scan_sharded(
+        g * sat, 1.0 - g, state["lp_y0"], axis_name
+    )
+    return y, {"lp_y0": y_fin}
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +398,7 @@ def _delay_init(sr: int, static: dict) -> dict:
     return {"tail": jnp.zeros((_delay_samples(sr, static), 2), jnp.float32)}
 
 
-def _delay_process(x, state, params, sr, static):
+def _delay_process(x, state, params, sr, static, axis_name=None):
     # exact feedback comb y[t] = x[t] + fb * y[t-D]: `time` is a static
     # param bound at graph build, so D is a host int and the residue-class
     # scan applies — every echo order exact (no truncated echo sum, no decay
@@ -328,7 +406,7 @@ def _delay_process(x, state, params, sr, static):
     # `time` quantizes to whole samples at bind.
     fb = jnp.clip(params["feedback"], 0.0, 0.95)
     D = _delay_samples(sr, static)
-    y, tail = feedback_line(x, state["tail"], fb, D)
+    y, tail = feedback_line(x, state["tail"], fb, D, axis_name=axis_name)
     return y, {"tail": tail}
 
 
@@ -345,7 +423,7 @@ def _eq3_init(sr: int, static: dict) -> dict:
     return {f"bq{i}": biquad_init_state(2) for i in range(8)}
 
 
-def _eq3_process(x, state, params, sr, static):
+def _eq3_process(x, state, params, sr, static, axis_name=None):
     """3-band EQ with Linkwitz-Riley 4th-order crossovers.
 
     Crossover frequencies are static params bound at graph build
@@ -364,14 +442,14 @@ def _eq3_process(x, state, params, sr, static):
     hp_lo = biquad_coefs("highpass", f_lo, sr)
     lp_hi = biquad_coefs("lowpass", f_hi, sr)
     hp_hi = biquad_coefs("highpass", f_hi, sr)
-    t0, s0 = biquad_apply(x, lp_lo, state["bq0"])
-    low, s1 = biquad_apply(t0, lp_lo, state["bq1"])
-    t1, s2 = biquad_apply(x, hp_lo, state["bq2"])
-    upper, s3 = biquad_apply(t1, hp_lo, state["bq3"])
-    t2, s4 = biquad_apply(upper, lp_hi, state["bq4"])
-    mid, s5 = biquad_apply(t2, lp_hi, state["bq5"])
-    t3, s6 = biquad_apply(upper, hp_hi, state["bq6"])
-    high, s7 = biquad_apply(t3, hp_hi, state["bq7"])
+    t0, s0 = biquad_apply(x, lp_lo, state["bq0"], axis_name)
+    low, s1 = biquad_apply(t0, lp_lo, state["bq1"], axis_name)
+    t1, s2 = biquad_apply(x, hp_lo, state["bq2"], axis_name)
+    upper, s3 = biquad_apply(t1, hp_lo, state["bq3"], axis_name)
+    t2, s4 = biquad_apply(upper, lp_hi, state["bq4"], axis_name)
+    mid, s5 = biquad_apply(t2, lp_hi, state["bq5"], axis_name)
+    t3, s6 = biquad_apply(upper, hp_hi, state["bq6"], axis_name)
+    high, s7 = biquad_apply(t3, hp_hi, state["bq7"], axis_name)
     y = low * g_lo + mid * g_mid + high * g_hi
     return y, {"bq0": s0, "bq1": s1, "bq2": s2, "bq3": s3,
                "bq4": s4, "bq5": s5, "bq6": s6, "bq7": s7}
@@ -390,20 +468,18 @@ def _flanger_init(sr: int, static: dict) -> dict:
             "t0": jnp.zeros((), jnp.float32)}
 
 
-def _flanger_process(x, state, params, sr, static):
+def _flanger_process(x, state, params, sr, static, axis_name=None):
     rate = jnp.clip(params["rate"], 0.02, 10.0)
     depth_ms = jnp.clip(params["depth"], 0.1, 5.0)
     base_ms = jnp.clip(params["base"], 0.5, 6.0)
     T = x.shape[0]
-    t = state["t0"] + jnp.arange(T, dtype=jnp.float32) / jnp.float32(sr)
+    t, t0_next = _local_time(state["t0"], T, sr, axis_name)
+    halo, new_tail = prev_frames(x, state["tail"], axis_name)
     lfo = jnp.sin(2.0 * math.pi * rate * t)
     delay = (base_ms + depth_ms * (0.5 + 0.5 * lfo)) * (sr / 1000.0)
-    wet = delayed_read(x, state["tail"], delay)
+    wet = delayed_read(x, halo, delay)
     y = 0.5 * (x + wet)
-    return y, {
-        "tail": _update_tail(x, state["tail"]),
-        "t0": state["t0"] + jnp.float32(T) / jnp.float32(sr),
-    }
+    return y, {"tail": new_tail, "t0": t0_next}
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +490,7 @@ def _bitcrush_init(sr: int, static: dict) -> dict:
     return {}
 
 
-def _bitcrush_process(x, state, params, sr, static):
+def _bitcrush_process(x, state, params, sr, static, axis_name=None):
     bits = jnp.clip(params["bits"], 1.0, 16.0)
     levels = jnp.power(2.0, bits - 1.0)
     y = jnp.round(x * levels) / levels
