@@ -80,6 +80,14 @@ def block_table(
     return idx
 
 
+def _note_hz(notes) -> np.ndarray:
+    """MIDI note -> Hz, computed in float64 and rounded to f32 — matches
+    the reference's libm-accurate f32 powf (extensions.rs:451) where the
+    TPU's exp2 approximation would detune by ~3e-6 relative."""
+    n = np.asarray(notes, np.float64)
+    return (440.0 * np.exp2((n - 69.0) / 12.0)).astype(np.float32)
+
+
 def _pad_cols(cols: dict[str, np.ndarray], pad_to: int) -> dict[str, np.ndarray]:
     out = {}
     for k, v in cols.items():
@@ -252,6 +260,10 @@ def bake_debug_sine(
     cols = _pad_cols(
         {
             "notes": np.asarray([sp[0] for sp in spans], np.float32),
+            # hz precomputed host-side in f64 then rounded: the reference
+            # computes it with libm powf (sub-ulp); this TPU's exp2 is only
+            # ~3e-6-relative, which audibly detunes phase over seconds
+            "hz": _note_hz([sp[0] for sp in spans]),
             "vels": np.asarray([sp[1] for sp in spans], np.float32),
             "starts": starts.astype(np.int32),
             "ends": np.minimum(ends, INF_FRAME).astype(np.int32),
@@ -337,6 +349,7 @@ def bake_notes(
     cols = _pad_cols(
         {
             "notes": np.asarray([n.note for n in notes], np.float32),
+            "hz": _note_hz([n.note for n in notes]),  # see bake_debug_sine
             "vels": np.asarray([n.vel for n in notes], np.float32),
             "on_f": np.asarray([n.on_f for n in notes], np.int32),
             "off_f": np.asarray(

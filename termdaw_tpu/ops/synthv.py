@@ -34,7 +34,6 @@ def debug_sine(
 ) -> jnp.ndarray:
     """Pure per-note sines, no envelope (extensions.rs:423-457)."""
     idx, valid, f = _block_gather(bake, nb, bl, frames)
-    note = bake["notes"][idx]  # [nb, P]
     vel = bake["vels"][idx]
     s0 = bake["starts"][idx]
     e0 = bake["ends"][idx]
@@ -44,8 +43,8 @@ def debug_sine(
         & (f[:, :, None] < e0[:, None, :])
     )  # [nb, bl, P]
     time = f.astype(jnp.float32) / jnp.float32(sr)  # [nb, bl]
-    hz = osc.note_hz(note)  # [nb, P]
-    sig = jnp.sin(time[:, :, None] * hz[:, None, :] * osc.TWO_PI)
+    hz = bake["hz"][idx]  # [nb, P] host-exact (see bake._note_hz)
+    sig = osc.sin_f32(time[:, :, None] * hz[:, None, :] * osc.TWO_PI)
     sig = sig * jnp.where(active, vel[:, None, :], 0.0)
     mono = jnp.sum(sig, axis=2).reshape(-1)  # [T]
     return jnp.stack([mono, mono], axis=1)
@@ -82,7 +81,6 @@ def synth(
     amp_mult = 1.0 / amp_mult if amp_mult != 0.0 else 0.0
 
     idx, valid, f = _block_gather(bake, nb, bl, frames)
-    note = bake["notes"][idx]
     vel = bake["vels"][idx]
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
@@ -90,7 +88,7 @@ def synth(
 
     fb = f[:, :, None]  # [nb, bl, 1]
     time = f.astype(jnp.float32)[:, :, None] / jnp.float32(sr)
-    hz = osc.note_hz(note)[:, None, :]  # [nb, 1, P]
+    hz = bake["hz"][idx][:, None, :]  # [nb, 1, P] host-exact
     on_b = on_f[:, None, :]
     off_b = off_f[:, None, :]
     velb = vel[:, None, :]
@@ -131,7 +129,6 @@ def sampsyn(
     K, W = table_waves.shape
 
     idx, valid, f = _block_gather(bake, nb, bl, frames)
-    note = bake["notes"][idx]
     vel = bake["vels"][idx]
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
@@ -159,7 +156,7 @@ def sampsyn(
         blend = jnp.zeros(tau.size, jnp.float32)
 
     # fixed-point phase: n * round(hz/sr * 2^32) mod 2^32, exact wrap
-    hz = osc.note_hz(note)[:, None, :]  # [nb, 1, P]
+    hz = bake["hz"][idx][:, None, :]  # [nb, 1, P] host-exact
     n = (fb - on_b).astype(jnp.uint32)  # frames since on
     cyc = hz / jnp.float32(sr)
     c_fix = (cyc * jnp.float32(2.0**32)).astype(jnp.uint32)

@@ -133,19 +133,28 @@ def hit6(a):
 
 
 # -- oscillators (reference synth.rs:21-34) ---------------------------------
+# the sine ARGUMENT is built in f32 like the f32 reference (and engine):
+# at second-scale times * audio-rate hz the argument reaches thousands of
+# radians, where f32 argument rounding dominates the result (~-70 dBFS) —
+# an f64 argument would make the oracle the odd one out, not the engine
+
+def _sin_arg32(t, hz):
+    return np.float32(np.float32(t) * np.float32(hz) * np.float32(2 * np.pi))
+
 
 def sq_sine(t, hz, z):
-    return min(max(math.sin(t * hz * 2 * math.pi), -z), z) / z
+    return min(max(math.sin(_sin_arg32(t, hz)), -z), z) / z
 
 
 def tf_sine(t, hz, z):
-    return (min(math.sin(t * hz * 2 * math.pi), z) + (1 - z) / 2) * (
+    return (min(math.sin(_sin_arg32(t, hz)), z) + (1 - z) / 2) * (
         2 / (1 + z)
     )
 
 
 def tri(t, hz):
-    return 4.0 * abs((t * hz) - math.floor(t * hz + 0.5)) - 1.0
+    x = float(np.float32(t) * np.float32(hz))
+    return 4.0 * abs(x - math.floor(x + 0.5)) - 1.0
 
 
 # -- vertices ---------------------------------------------------------------
@@ -369,6 +378,93 @@ class Synth(V):
                     s += tf_sine(time, hz, tfz) * vel * env(tfc) * tfv
                 if trv > 0:
                     s += tri(time, hz) * vel * env(trc) * trv
+            buf[i] = s * amp
+        for n in self.notes:
+            n[2] += ctx["bl"] / sr
+        self.notes = [n for n in self.notes
+                      if n[3] == 0.0 or n[2] <= release_sec]
+        return buf
+
+
+class SampSyn(V):
+    """Per-frame wavetable synth (reference SampSyn, extensions.rs:531-578):
+    Synth's note lifecycle + ADSR, oscillator = wavetable lookup at the
+    engine's exact uint32 fixed-point phase, snapshots blended by time
+    since note-on."""
+
+    def __init__(self, floww, conf9, times, waves, **kw):
+        super().__init__(**kw)
+        self.floww = floww
+        self.conf = conf9
+        self.times = np.asarray(times, np.float64)  # [K]
+        self.waves = np.asarray(waves, np.float64)  # [K, W]
+        self.notes: list = []  # [note, vel, env_t, rel_t, on_frame]
+
+    def _wave(self, note, n_since_on, tau):
+        K, W = self.waves.shape
+        # fixed-point phase exactly like the engine (ops/synthv.py):
+        # c_fix = uint32(f32(hz / sr) * 2^32); phase = n * c_fix mod 2^32;
+        # hz rounded from the exact value like the reference's libm powf
+        hz = np.float32(440.0 * 2.0 ** ((note - 69.0) / 12.0))
+        cyc = np.float32(hz) / np.float32(self._sr)
+        c_fix = np.uint32(np.float32(cyc * np.float32(2.0**32)))
+        phase_fix = np.uint32((int(n_since_on) * int(c_fix)) & 0xFFFFFFFF)
+        phase = np.float32(phase_fix) * np.float32(W / 2.0**32)
+        p0 = int(np.clip(np.floor(phase), 0, W - 1))
+        p1 = (p0 + 1) % W
+        frac = float(phase - np.float32(p0))
+        if K > 1:
+            k = int(np.clip(
+                np.searchsorted(self.times, tau, side="right") - 1, 0, K - 2
+            ))
+            t_k, t_k1 = self.times[k], self.times[k + 1]
+            blend = float(np.clip((tau - t_k) / max(t_k1 - t_k, 1e-9), 0, 1))
+        else:
+            k, blend = 0, 0.0
+        w0 = self.waves[k, p0] * (1 - frac) + self.waves[k, p1] * frac
+        if K > 1:
+            w1 = (self.waves[k + 1, p0] * (1 - frac)
+                  + self.waves[k + 1, p1] * frac)
+            return w0 * (1 - blend) + w1 * blend
+        return w0
+
+    def gen(self, ctx, ins):
+        buf = np.zeros((ctx["bl"], 2))
+        fl = ctx["flowws"][self.floww]
+        fl.start_block()
+        sr = ctx["sr"]
+        self._sr = sr
+        c = self.conf
+        mv = max_vel(c)
+        amp = 1.0 / mv if mv != 0.0 else 0.0
+        release_sec = c[7]
+        for i in range(ctx["bl"]):
+            for on, note, vel in fl.get_block_simple(i):
+                if on:
+                    self.notes.append(
+                        [note, vel, -(i / sr), 0.0, ctx["t"] + i]
+                    )
+                else:
+                    self.notes = [
+                        n for n in self.notes
+                        if abs(n[0] - note) > 0.001 or n[3] == 0.0
+                    ]
+                    for n in self.notes:
+                        if abs(n[0] - note) > 0.001:
+                            continue
+                        if n[3] == 0.0:
+                            n[3] = n[2] + i / sr
+                            n[2] = -(i / sr)
+            s = 0.0
+            for note, vel, env_t, rel_t, on_frame in self.notes:
+                env_time = env_t + i / sr
+                env = (ads(c, env_time) if rel_t == 0.0
+                       else r_rt(c, env_time, rel_t))
+                tau = env_time + rel_t  # time since note-on
+                n_since = (ctx["t"] + i) - on_frame
+                if n_since < 0:
+                    continue
+                s += self._wave(note, n_since, tau) * vel * env
             buf[i] = s * amp
         for n in self.notes:
             n[2] += ctx["bl"] / sr

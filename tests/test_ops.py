@@ -311,3 +311,27 @@ class TestResample:
             got = np.concatenate(outs, axis=0)
             assert got.shape == whole.shape, (got.shape, whole.shape)
             np.testing.assert_allclose(got, whole, atol=1e-5)
+
+
+class TestSinF32:
+    def test_accurate_sine_large_args(self, rng):
+        """sin_f32 must stay libm-class (<= ~1e-6) where the TPU-native
+        sin drifts to ~5e-4 at large arguments."""
+        import jax
+        import jax.numpy as jnp
+        from termdaw_tpu.ops.osc import sin_f32
+
+        x = rng.uniform(-3.9e5, 3.9e5, 20000).astype(np.float32)
+        got = np.asarray(jax.jit(sin_f32)(jnp.asarray(x)))
+        exact = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - exact)) < 2e-6
+
+    def test_small_args_exactness(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from termdaw_tpu.ops.osc import sin_f32
+
+        x = rng.uniform(-6.3, 6.3, 5000).astype(np.float32)
+        got = np.asarray(jax.jit(sin_f32)(jnp.asarray(x)))
+        exact = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - exact)) < 2e-7

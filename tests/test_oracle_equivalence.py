@@ -270,3 +270,36 @@ class TestOracleEquivalence:
             flowws, SR, BL, N_BLOCKS,
         )
         compare(got, expect, 2e-3)
+
+
+class TestSampSynOracle:
+    def test_sampsyn(self, tmp_path, rng, sample):
+        """Wavetable synth vs the per-frame oracle (VERDICT r1 item 8:
+        oracle coverage for the remaining §2c event vertex)."""
+        from termdaw_tpu.fileio.wavetable import WaveTable, write_wavetable
+
+        w = 256
+        xw = np.arange(w) / w
+        waves = np.stack([
+            np.sin(2 * np.pi * xw) + 0.3 * np.sin(6 * np.pi * xw),
+            np.sin(2 * np.pi * xw),
+        ]).astype(np.float32)
+        times = np.asarray([0.0, 0.35], np.float32)
+        write_wavetable(tmp_path / "t.wt", WaveTable(times, waves))
+
+        ev = random_events(rng, 8, LEN_SEC, notes=(48, 55, 60))
+        st = build_state(
+            tmp_path, sample, ev,
+            f'load_resource("tbl", "{tmp_path}/t.wt");\n'
+            'add_sampsyn("v", 0.9, 10.0, "ev",\n'
+            '    {0.01, 0.08, 0.7, 0.4, 0.3, 0.12}, "tbl");\n'
+            'set_output("v");',
+        )
+        got = engine_audio(st)
+        fl = O.OracleFloww(ev, SR, BL)
+        conf9 = [0.0, 0.01, 1.0, 0.08, 0.7, 0.4, 0.3, 0.12, 0.0]
+        verts = {
+            "v": O.SampSyn("ev", conf9, times, waves, gain=0.9, angle=10.0),
+        }
+        expect = O.oracle_render(verts, [], "v", {"ev": fl}, SR, BL, N_BLOCKS)
+        compare(got, expect, 2e-3)
