@@ -290,16 +290,26 @@ def band_pass_timeline(
 # ---------------------------------------------------------------------------
 
 def _mat_combine(left, right):
-    # Precision.HIGHEST: the default matmul path rounds inputs to bf16,
-    # which compounds across the prefix tree (~1e-3 error); see the same
-    # note in ops/resample.py
-    Ml, vl = left
-    Mr, vr = right
-    M = jnp.einsum("...ij,...jk->...ik", Mr, Ml,
-                   precision=jax.lax.Precision.HIGHEST)
-    v = jnp.einsum("...ij,...jc->...ic", Mr, vl,
-                   precision=jax.lax.Precision.HIGHEST) + vr
-    return M, v
+    """Compose 2x2 affine maps written ELEMENTWISE as 6 lanes
+    (a, b, c, d, v0, v1), each [..., C]: s -> [[a, b], [c, d]] s + (v0, v1).
+
+    Elementwise f32 lane math instead of batched tiny einsums: [T, 2, 2]
+    matmuls at Precision.HIGHEST lowered to a ~50x-slower program on this
+    TPU (1.7 s for an 8-biquad EQ window) — and full f32 multiplies here
+    are exactly what HIGHEST emulates, so accuracy is unchanged."""
+    al, bl_, cl, dl, v0l, v1l = left
+    ar, br, cr, dr, v0r, v1r = right
+    return (
+        ar * al + br * cl,
+        ar * bl_ + br * dl,
+        cr * al + dr * cl,
+        cr * bl_ + dr * dl,
+        ar * v0l + br * v1l + v0r,
+        cr * v0l + dr * v1l + v1r,
+    )
+
+
+_MAT_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 def biquad_coefs(kind: str, fc: float, sr: int, q: float = 0.7071067811865476):
@@ -335,20 +345,28 @@ def biquad_apply(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Direct-form-1 biquad over a window [T, C]; exact cross-window state.
 
+    `coefs` = (b0, b1, b2, a1, a2), each a scalar or a per-channel [C]
+    array — per-channel coefficients let independent filter branches run
+    batched in one scan (the 3-band EQ runs its whole LR4 tree as 4
+    stages of a 4-channel biquad).
+
     The feedback recurrence y[n] = f[n] - a1*y[n-1] - a2*y[n-2] (with the
     feed-forward part f computed in parallel) is a constant-matrix linear
     recurrence on s[n] = (y[n], y[n-1]) and runs as one tiled associative
-    scan of 2x2 affine maps. Under `axis_name` the feed-forward taps come
-    from a 2-frame halo exchange (prev_frames) and the feedback state is
-    boundary-composed across devices (exclusive_total) — returned state is
-    the global stream's, replicated.
+    scan of 2x2 affine maps in elementwise lane form (see _mat_combine).
+    Under `axis_name` the feed-forward taps come from a 2-frame halo
+    exchange (prev_frames) and the feedback state is boundary-composed
+    across devices (exclusive_total) — returned state is the global
+    stream's, replicated.
 
-    Precision note: the parallel prefix of near-unit-circle 2x2 maps
+    Precision note: the parallel prefix of near-unit-circle maps
     accumulates ~1e-3 relative error in float32 over long windows — fine
     for musical EQ/crossover use (the first-party effects), not for
     parity-critical paths (which use the scalar one-pole scans).
     """
-    b0, b1, b2, a1, a2 = [jnp.float32(c) for c in coefs]
+    b0, b1, b2, a1, a2 = [
+        jnp.asarray(c, jnp.float32) for c in coefs
+    ]
     T, C = x.shape
     if axis_name is None:
         x1 = jnp.concatenate([state[0:1], x[:-1]], axis=0)
@@ -366,36 +384,30 @@ def biquad_apply(
         new_x1, new_x2 = new_tail[1], new_tail[0]
     f = b0 * x + b1 * x1 + b2 * x2  # [T, C]
 
-    M = jnp.broadcast_to(
-        jnp.asarray([[-a1, -a2], [1.0, 0.0]], jnp.float32), (T, 2, 2)
+    shape = (T, C)
+    elems = (
+        jnp.broadcast_to(-a1, shape), jnp.broadcast_to(-a2, shape),
+        jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+        f, jnp.zeros(shape, jnp.float32),
     )
-    v = jnp.stack([f, jnp.zeros_like(f)], axis=1)  # [T, 2, C]
-    import numpy as _np
+    cum = tiled_cumulative(_mat_combine, _MAT_IDENT, elems)
+    y1, y2 = state[2], state[3]  # s0 = (y[n-1], y[n-2]), each [C]
 
-    ident = (
-        _np.eye(2, dtype=_np.float32),
-        _np.zeros((2, 1), _np.float32),
-    )
-    M_cum, v_cum = tiled_cumulative(_mat_combine, ident, (M, v))
-    s0 = jnp.stack([state[2], state[3]], axis=0)  # [2, C]
+    def apply_map(m, s):
+        a_, b_, c_, d_, v0, v1 = m
+        u0, u1 = s
+        return a_ * u0 + b_ * u1 + v0, c_ * u0 + d_ * u1 + v1
+
+    last = tuple(e[-1] for e in cum)
     if axis_name is None:
-        s0_local = s0
-        M_fin, v_fin = M_cum[-1], v_cum[-1]
-        s_fin = jnp.einsum(
-            "ij,jc->ic", M_fin, s0, precision=jax.lax.Precision.HIGHEST
-        ) + v_fin
+        s0_local = (y1, y2)
+        s_fin = apply_map(last, (y1, y2))
     else:
-        (m_pre, v_pre), (m_tot, v_tot) = exclusive_total(
-            _mat_combine, ident, (M_cum[-1], v_cum[-1]), axis_name
+        pre, tot = exclusive_total(
+            _mat_combine, _MAT_IDENT, last, axis_name
         )
-        s0_local = jnp.einsum(
-            "ij,jc->ic", m_pre, s0, precision=jax.lax.Precision.HIGHEST
-        ) + v_pre
-        s_fin = jnp.einsum(
-            "ij,jc->ic", m_tot, s0, precision=jax.lax.Precision.HIGHEST
-        ) + v_tot
-    Ms0 = jnp.einsum("tij,jc->tic", M_cum, s0_local,
-                     precision=jax.lax.Precision.HIGHEST)
-    y = Ms0[:, 0] + v_cum[:, 0]
+        s0_local = apply_map(pre, (y1, y2))
+        s_fin = apply_map(tot, (y1, y2))
+    y = cum[0] * s0_local[0] + cum[1] * s0_local[1] + cum[4]
     new_state = jnp.stack([new_x1, new_x2, s_fin[0], s_fin[1]], axis=0)
     return y, new_state

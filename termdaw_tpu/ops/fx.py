@@ -416,11 +416,12 @@ def _delay_process(x, state, params, sr, static, axis_name=None):
 
 def _eq3_init(sr: int, static: dict) -> dict:
     # Linkwitz-Riley 4th-order tree crossover: LP/HP pair at f_lo on the
-    # input, then LP/HP pair at f_hi on the upper branch — 8 biquads
-    # (ops/filters.biquad_apply); in-phase band sums (allpass at 0 dB)
+    # input, then LP/HP pair at f_hi on the upper branch — 8 biquads run
+    # as 4 stages of a 4-channel batched biquad (per-channel coefs,
+    # ops/filters.biquad_apply); in-phase band sums (allpass at 0 dB)
     from .filters import biquad_init_state
 
-    return {f"bq{i}": biquad_init_state(2) for i in range(8)}
+    return {f"st{i}": biquad_init_state(4) for i in range(4)}
 
 
 def _eq3_process(x, state, params, sr, static, axis_name=None):
@@ -438,21 +439,27 @@ def _eq3_process(x, state, params, sr, static, axis_name=None):
     g_lo = jnp.power(10.0, params["low_gain"] / 20.0)
     g_mid = jnp.power(10.0, params["mid_gain"] / 20.0)
     g_hi = jnp.power(10.0, params["high_gain"] / 20.0)
-    lp_lo = biquad_coefs("lowpass", f_lo, sr)
-    hp_lo = biquad_coefs("highpass", f_lo, sr)
-    lp_hi = biquad_coefs("lowpass", f_hi, sr)
-    hp_hi = biquad_coefs("highpass", f_hi, sr)
-    t0, s0 = biquad_apply(x, lp_lo, state["bq0"], axis_name)
-    low, s1 = biquad_apply(t0, lp_lo, state["bq1"], axis_name)
-    t1, s2 = biquad_apply(x, hp_lo, state["bq2"], axis_name)
-    upper, s3 = biquad_apply(t1, hp_lo, state["bq3"], axis_name)
-    t2, s4 = biquad_apply(upper, lp_hi, state["bq4"], axis_name)
-    mid, s5 = biquad_apply(t2, lp_hi, state["bq5"], axis_name)
-    t3, s6 = biquad_apply(upper, hp_hi, state["bq6"], axis_name)
-    high, s7 = biquad_apply(t3, hp_hi, state["bq7"], axis_name)
+
+    def pair(kind_a, f_a, kind_b, f_b):
+        ca = biquad_coefs(kind_a, f_a, sr)
+        cb = biquad_coefs(kind_b, f_b, sr)
+        # channel layout [L_a, R_a, L_b, R_b]
+        return tuple(
+            jnp.asarray([a, a, b, b], jnp.float32) for a, b in zip(ca, cb)
+        )
+
+    c_lo = pair("lowpass", f_lo, "highpass", f_lo)
+    c_hi = pair("lowpass", f_hi, "highpass", f_hi)
+    xx = jnp.concatenate([x, x], axis=1)  # [T, 4]
+    t0, s0 = biquad_apply(xx, c_lo, state["st0"], axis_name)
+    t1, s1 = biquad_apply(t0, c_lo, state["st1"], axis_name)
+    low, upper = t1[:, 0:2], t1[:, 2:4]
+    uu = jnp.concatenate([upper, upper], axis=1)
+    t2, s2 = biquad_apply(uu, c_hi, state["st2"], axis_name)
+    t3, s3 = biquad_apply(t2, c_hi, state["st3"], axis_name)
+    mid, high = t3[:, 0:2], t3[:, 2:4]
     y = low * g_lo + mid * g_mid + high * g_hi
-    return y, {"bq0": s0, "bq1": s1, "bq2": s2, "bq3": s3,
-               "bq4": s4, "bq5": s5, "bq6": s6, "bq7": s7}
+    return y, {"st0": s0, "st1": s1, "st2": s2, "st3": s3}
 
 
 # ---------------------------------------------------------------------------

@@ -168,17 +168,23 @@ def sampsyn(
     p1 = jnp.mod(p0 + 1, W)
     fracf = frac.reshape(-1)
 
-    # flat-index gathers (1-D gathers lower far better than 2-D fancy
-    # indexing on this backend). A Pallas VMEM-table kernel was probed and
-    # abandoned: this Mosaic version supports no usable vectorized VMEM
-    # gather (jnp.take -> "Only 2D gather is supported";
-    # take_along_axis -> lowering AssertionError). Revisit on newer runtimes.
-    tw = table_waves.reshape(-1)  # [K*W]
-    base0 = k * W
-    w0 = tw[base0 + p0] * (1 - fracf) + tw[base0 + p1] * fracf
+    # ONE row-gather [N, 4] instead of four 1-D gathers: each table row
+    # packs (w_k[p], w_k[p+1], w_{k+1}[p], w_{k+1}[p+1]) so the phase
+    # interpolation and snapshot blend read everything in one gather —
+    # measured ~2.4x faster than separate flat gathers on this TPU (and a
+    # Pallas VMEM-table kernel was probed and abandoned: this Mosaic has
+    # no usable vectorized VMEM gather). p1 wrap rides the roll.
+    del p1
+    wnext = jnp.roll(table_waves, -1, axis=1)
+    knext = jnp.minimum(jnp.arange(K) + 1, K - 1)
+    wk1 = table_waves[knext]
+    t4 = jnp.stack(
+        [table_waves, wnext, wk1, jnp.roll(wk1, -1, axis=1)], axis=2
+    ).reshape(K * W, 4)
+    g = t4[k * W + p0]  # [N, 4]
+    w0 = g[:, 0] * (1 - fracf) + g[:, 1] * fracf
     if K > 1:
-        base1 = base0 + W
-        w1 = tw[base1 + p0] * (1 - fracf) + tw[base1 + p1] * fracf
+        w1 = g[:, 2] * (1 - fracf) + g[:, 3] * fracf
         wave = w0 * (1 - blend) + w1 * blend
     else:
         wave = w0
