@@ -53,12 +53,34 @@ def run_ui_workflow(
 ) -> None:
     inp = input_stream if input_stream is not None else sys.stdin
     cmd_queue: queue.Queue = queue.Queue()
+    use_palette = (
+        input_stream is None
+        and hasattr(inp, "isatty")
+        and inp.isatty()
+    )
 
     def reader() -> None:
-        for line in inp:
-            cmd_queue.put(line)
-            if match_command(line) == "quit":
-                break
+        if use_palette:
+            # arrow-key fuzzy selector on the controlling TTY
+            # (reference ui_workflow.rs:35-45, doc.md:40-42)
+            from .palette import Palette
+
+            pal = Palette(COMMANDS)
+            while True:
+                try:
+                    line = pal.read_command()
+                except Exception:
+                    break  # tty went away; fall through to EOF
+                if line is None:
+                    break
+                cmd_queue.put(line)
+                if match_command(line) == "quit":
+                    break
+        else:
+            for line in inp:
+                cmd_queue.put(line)
+                if match_command(line) == "quit":
+                    break
         cmd_queue.put(None)  # EOF
 
     t = threading.Thread(target=reader, daemon=True)

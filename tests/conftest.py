@@ -24,6 +24,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multichip subprocess dryruns)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

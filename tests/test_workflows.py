@@ -195,3 +195,87 @@ class TestCli:
 
         rc = main([str(tmp_path / "nope")])
         assert rc == 1
+
+
+class TestPalette:
+    """Arrow-key fuzzy palette (reference ui_workflow.rs:35-45)."""
+
+    def test_fuzzy_rank_ordering(self):
+        from termdaw_tpu.workflows.palette import fuzzy_rank
+
+        assert fuzzy_rank("render", "render") == 0      # exact
+        assert fuzzy_rank("re", "render") == 1          # prefix
+        assert fuzzy_rank("orm", "normalize") == 2      # substring
+        assert fuzzy_rank("nv", "norm-vals") == 4       # subsequence
+        assert fuzzy_rank("xyz", "render") is None
+        assert fuzzy_rank("", "anything") == 3          # empty matches all
+
+    def test_filter_commands(self):
+        from termdaw_tpu.workflows.palette import filter_commands
+        from termdaw_tpu.workflows.ui import COMMANDS
+
+        # prefix beats substring beats subsequence; ties keep COMMANDS order
+        assert filter_commands(COMMANDS, "p")[:2] == ["play", "pause"]
+        assert filter_commands(COMMANDS, "norm")[:2] == [
+            "norm-vals", "normalize",
+        ] or filter_commands(COMMANDS, "norm")[:2] == [
+            "normalize", "norm-vals",
+        ]
+        assert filter_commands(COMMANDS, "") == COMMANDS
+        assert filter_commands(COMMANDS, "zzz") == []
+
+    def test_palette_pty_arrow_select_and_args(self):
+        """Drive the palette through a real pty: type a filter, arrow
+        down, Enter; then a command with args."""
+        import os
+        import pty
+        import threading
+
+        from termdaw_tpu.workflows.palette import Palette
+        from termdaw_tpu.workflows.ui import COMMANDS
+
+        master, slave = pty.openpty()
+        inp = os.fdopen(os.dup(slave), "r")
+        outp = os.fdopen(os.dup(slave), "w")
+        pal = Palette(COMMANDS, tty_in=inp, tty_out=outp)
+        results = []
+
+        def drive():
+            results.append(pal.read_command())   # 1st submit
+            results.append(pal.read_command())   # 2nd submit
+            results.append(pal.read_command())   # EOF via Ctrl-D
+
+        stop_drain = threading.Event()
+        drew = threading.Event()
+
+        def drain():  # keep the pty master from filling and blocking draws
+            while not stop_drain.is_set():
+                try:
+                    if os.read(master, 65536):
+                        drew.set()
+                except OSError:
+                    return
+
+        td = threading.Thread(target=drain, daemon=True)
+        td.start()
+        t = threading.Thread(target=drive, daemon=True)
+        t.start()
+        # wait for the first prompt draw: cbreak mode is then active, so
+        # keystrokes bypass the canonical line discipline
+        assert drew.wait(timeout=10)
+        # "p" filters to [play, pause, >skip]; Down selects "pause"; Enter
+        os.write(master, b"p")
+        os.write(master, b"\x1b[B")
+        os.write(master, b"\r")
+        # "set 12.5" -> submits highlighted cmd + arg words
+        os.write(master, b"set 12.5\r")
+        os.write(master, b"\x04")  # Ctrl-D on empty -> None
+        t.join(timeout=10)
+        alive = t.is_alive()
+        stop_drain.set()
+        assert not alive
+        first, second, third = results
+        assert first == "pause"  # arrow moved off the top item ("play")
+        assert second == "set 12.5"
+        assert third is None
+        inp.close(); outp.close(); os.close(master); os.close(slave)
