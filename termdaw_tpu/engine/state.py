@@ -304,7 +304,6 @@ class State:
                 print(f"{RED}{e}{DEFAULT}")
                 raise RefreshAbort from None
         for name in streams:
-            print(name)
             self.fb.declare_stream(name)
 
         # ---- plugins (state.rs:254-323) ------------------------------------
