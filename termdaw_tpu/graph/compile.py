@@ -469,7 +469,7 @@ class CompiledGraph:
         global frame index so each device renders its block range
         independently; the only cross-device data is tiny — per-block
         maxima for Normalize's causal prefix (all_gather over ICI), the
-        affine/max-decay/2x2-matrix scan summaries of the IIR filters and
+        affine/max-decay/complex-cascade scan summaries of the IIR filters and
         effects (exclusive_total boundary composition), per-residue-class
         summaries for feedback delay lines, and small input halos for the
         delayed reads (prev_frames). Numeric state stays replicated.

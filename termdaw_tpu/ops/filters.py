@@ -286,30 +286,69 @@ def band_pass_timeline(
 
 
 # ---------------------------------------------------------------------------
-# biquads: true 2nd-order IIR sections as 2x2 matrix affine scans
+# biquads: 2nd-order IIR sections as a cascade of two 1st-order complex scans
 # ---------------------------------------------------------------------------
 
-def _mat_combine(left, right):
-    """Compose 2x2 affine maps written ELEMENTWISE as 6 lanes
-    (a, b, c, d, v0, v1), each [..., C]: s -> [[a, b], [c, d]] s + (v0, v1).
+def _caffine_combine(left, right):
+    """Compose complex affine maps u -> A*u + B written ELEMENTWISE as 4
+    real lanes (ar, ai, br, bi), each [..., C].
 
-    Elementwise f32 lane math instead of batched tiny einsums: [T, 2, 2]
-    matmuls at Precision.HIGHEST lowered to a ~50x-slower program on this
-    TPU (1.7 s for an 8-biquad EQ window) — and full f32 multiplies here
-    are exactly what HIGHEST emulates, so accuracy is unchanged."""
-    al, bl_, cl, dl, v0l, v1l = left
-    ar, br, cr, dr, v0r, v1r = right
+    Elementwise f32 lane math instead of complex64 / batched tiny einsums:
+    [T, 2, 2] matmuls at Precision.HIGHEST lowered to a ~50x-slower program
+    on this TPU (1.7 s for an 8-biquad EQ window) — and full f32 multiplies
+    here are exactly what HIGHEST emulates, so accuracy is unchanged."""
+    ar1, ai1, br1, bi1 = left
+    ar2, ai2, br2, bi2 = right
     return (
-        ar * al + br * cl,
-        ar * bl_ + br * dl,
-        cr * al + dr * cl,
-        cr * bl_ + dr * dl,
-        ar * v0l + br * v1l + v0r,
-        cr * v0l + dr * v1l + v1r,
+        ar2 * ar1 - ai2 * ai1,
+        ar2 * ai1 + ai2 * ar1,
+        ar2 * br1 - ai2 * bi1 + br2,
+        ar2 * bi1 + ai2 * br1 + bi2,
     )
 
 
-_MAT_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+_CAFF_IDENT = (1.0, 0.0, 0.0, 0.0)
+
+
+def _first_order_complex(
+    f_r: jnp.ndarray, f_i: jnp.ndarray, pr, pi, s_r, s_i,
+    axis_name: str | None,
+):
+    """u[n] = p*u[n-1] + f[n] with u[-1] = s, all complex as (re, im) real
+    lanes; f [T, C], p and s broadcastable to [C].
+
+    Returns (u_r, u_i, ufin_r, ufin_i): the full window and the global
+    final value. Under `axis_name` (timeline-sharded) the per-device affine
+    summaries are boundary-composed across devices (exclusive_total); the
+    final value is the global stream's, replicated."""
+    shape = f_r.shape
+    elems = (
+        jnp.broadcast_to(jnp.asarray(pr, jnp.float32), shape),
+        jnp.broadcast_to(jnp.asarray(pi, jnp.float32), shape),
+        f_r, f_i,
+    )
+    ar, ai, br, bi = tiled_cumulative(_caffine_combine, _CAFF_IDENT, elems)
+
+    def apply(m, vr, vi):
+        mar, mai, mbr, mbi = m
+        return mar * vr - mai * vi + mbr, mar * vi + mai * vr + mbi
+
+    if axis_name is None:
+        u_r = ar * s_r - ai * s_i + br
+        u_i = ar * s_i + ai * s_r + bi
+        return u_r, u_i, u_r[-1], u_i[-1]
+    last = (ar[-1], ai[-1], br[-1], bi[-1])
+    pre, tot = exclusive_total(
+        _caffine_combine, _CAFF_IDENT, last, axis_name
+    )
+    # seed entering THIS device's slice = earlier devices' composition
+    # applied to the global seed; global final = total composition of the
+    # global seed (replicated on every device)
+    l_r, l_i = apply(pre, s_r, s_i)
+    u_r = ar * l_r - ai * l_i + br
+    u_i = ar * l_i + ai * l_r + bi
+    ufin_r, ufin_i = apply(tot, s_r, s_i)
+    return u_r, u_i, ufin_r, ufin_i
 
 
 def biquad_coefs(kind: str, fc: float, sr: int, q: float = 0.7071067811865476):
@@ -339,6 +378,37 @@ def biquad_init_state(channels: int = 2) -> jnp.ndarray:
     return jnp.zeros((4, channels), jnp.float32)
 
 
+def biquad_apply_sequential(
+    x: jnp.ndarray, coefs: tuple, state: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-order sequential biquad: the same recurrence as biquad_apply
+    evaluated frame-by-frame with a `lax.scan`, reproducing a per-frame
+    float32 reference bit-for-bit (no parallel-prefix reassociation).
+
+    This is the precision lane for parity-critical use (VERDICT weak 10):
+    the parallel prefix in biquad_apply accumulates ~1e-3 relative error
+    over long windows near the unit circle; this one is O(T) sequential
+    (orders of magnitude slower on TPU — use it for verification or when
+    an effect must sit on a parity-critical path, selected via
+    TERMDAW_EXACT_BIQUAD=1, read at trace time)."""
+    b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs]
+
+    def step(s, xt):
+        x1, x2, y1, y2 = s
+        y = b0 * xt + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        return (xt, x1, y, y1), y
+
+    s0 = (state[0], state[1], state[2], state[3])
+    (x1, x2, y1, y2), ys = jax.lax.scan(step, s0, x)
+    return ys, jnp.stack([x1, x2, y1, y2], axis=0)
+
+
+def _exact_biquad() -> bool:
+    import os
+
+    return os.environ.get("TERMDAW_EXACT_BIQUAD", "0") == "1"
+
+
 def biquad_apply(
     x: jnp.ndarray, coefs: tuple, state: jnp.ndarray,
     axis_name: str | None = None,
@@ -351,19 +421,31 @@ def biquad_apply(
     stages of a 4-channel biquad).
 
     The feedback recurrence y[n] = f[n] - a1*y[n-1] - a2*y[n-2] (with the
-    feed-forward part f computed in parallel) is a constant-matrix linear
-    recurrence on s[n] = (y[n], y[n-1]) and runs as one tiled associative
-    scan of 2x2 affine maps in elementwise lane form (see _mat_combine).
-    Under `axis_name` the feed-forward taps come from a 2-frame halo
-    exchange (prev_frames) and the feedback state is boundary-composed
-    across devices (exclusive_total) — returned state is the global
-    stream's, replicated.
+    feed-forward part f computed in parallel) is factored into a CASCADE of
+    two first-order complex recurrences through the section's poles p1, p2
+    (roots of z^2 + a1 z + a2):
 
-    Precision note: the parallel prefix of near-unit-circle maps
-    accumulates ~1e-3 relative error in float32 over long windows — fine
-    for musical EQ/crossover use (the first-party effects), not for
-    parity-critical paths (which use the scalar one-pole scans).
+        u[n] = p1*u[n-1] + f[n],    y[n] = p2*y[n-1] + u[n]
+
+    each evaluated as one tiled associative scan of complex affine maps in
+    real-lane form (_caffine_combine). This is dramatically better
+    conditioned in float32 than the equivalent single 2x2-matrix scan: the
+    matrix prefix products of a near-unit-circle section (e.g. a 120 Hz
+    highpass at 48 kHz) amplify rounding by the ~n*r^n transient growth of
+    the DOUBLE pole and were measured at ~0.24 max relative error over a
+    32k window; the cascade's scalar products decay monotonically (|p|<1)
+    and measure ~3e-5 on the same section (see
+    tests/test_fx.py::TestBuildingBlocks). For bit-exact per-frame order
+    (verification, parity-critical paths) set TERMDAW_EXACT_BIQUAD=1 —
+    the sequential lane (biquad_apply_sequential) is used instead.
+
+    Under `axis_name` (timeline-sharded) the feed-forward taps come from a
+    2-frame halo exchange (prev_frames) and each scan's seed is
+    boundary-composed across devices (exclusive_total); the returned state
+    is the global stream's, replicated.
     """
+    if axis_name is None and _exact_biquad():
+        return biquad_apply_sequential(x, coefs, state)
     b0, b1, b2, a1, a2 = [
         jnp.asarray(c, jnp.float32) for c in coefs
     ]
@@ -384,30 +466,37 @@ def biquad_apply(
         new_x1, new_x2 = new_tail[1], new_tail[0]
     f = b0 * x + b1 * x1 + b2 * x2  # [T, C]
 
-    shape = (T, C)
-    elems = (
-        jnp.broadcast_to(-a1, shape), jnp.broadcast_to(-a2, shape),
-        jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-        f, jnp.zeros(shape, jnp.float32),
+    # poles of z^2 + a1 z + a2 (complex-conjugate for Butterworth-q
+    # sections, real for overdamped ones — the same lane math covers both)
+    disc = a1 * a1 - 4.0 * a2
+    sq = jnp.sqrt(jnp.abs(disc))
+    is_real = disc >= 0.0
+    p1r = jnp.where(is_real, (-a1 + sq) * 0.5, -a1 * 0.5)
+    p1i = jnp.where(is_real, 0.0, sq * 0.5)
+    p2r = jnp.where(is_real, (-a1 - sq) * 0.5, -a1 * 0.5)
+    p2i = -p1i
+
+    y1, y2 = state[2], state[3]  # y[n-1], y[n-2], each [C]
+    # u[-1] = y[-1] - p2*y[-2] (from y[n] = p2*y[n-1] + u[n])
+    u0r = y1 - p2r * y2
+    u0i = -p2i * y2
+    u_r, u_i, ufin_r, ufin_i = _first_order_complex(
+        f, jnp.zeros_like(f), p1r, p1i, u0r, u0i, axis_name
     )
-    cum = tiled_cumulative(_mat_combine, _MAT_IDENT, elems)
-    y1, y2 = state[2], state[3]  # s0 = (y[n-1], y[n-2]), each [C]
-
-    def apply_map(m, s):
-        a_, b_, c_, d_, v0, v1 = m
-        u0, u1 = s
-        return a_ * u0 + b_ * u1 + v0, c_ * u0 + d_ * u1 + v1
-
-    last = tuple(e[-1] for e in cum)
+    y_r, y_i, yfin_r, yfin_i = _first_order_complex(
+        u_r, u_i, p2r, p2i, y1, jnp.zeros_like(y1), axis_name
+    )
+    # y is real by construction; the imaginary lane carries only rounding
+    new_y1 = yfin_r
     if axis_name is None:
-        s0_local = (y1, y2)
-        s_fin = apply_map(last, (y1, y2))
+        new_y2 = y_r[-2] if T > 1 else state[2]
     else:
-        pre, tot = exclusive_total(
-            _mat_combine, _MAT_IDENT, last, axis_name
-        )
-        s0_local = apply_map(pre, (y1, y2))
-        s_fin = apply_map(tot, (y1, y2))
-    y = cum[0] * s0_local[0] + cum[1] * s0_local[1] + cum[4]
-    new_state = jnp.stack([new_x1, new_x2, s_fin[0], s_fin[1]], axis=0)
-    return y, new_state
+        # the global y[T-2] isn't local to this device; recover it from
+        # y[T-1] = p2*y[T-2] + u[T-1] with a magnitude-clamped complex
+        # division (|p2|^2 = a2 -> tiny only when the section is nearly
+        # first-order, where y[n-2]'s a2 weight vanishes anyway)
+        dr, di = yfin_r - ufin_r, yfin_i - ufin_i
+        den = jnp.maximum(p2r * p2r + p2i * p2i, 1e-12)
+        new_y2 = (dr * p2r + di * p2i) / den
+    new_state = jnp.stack([new_x1, new_x2, new_y1, new_y2], axis=0)
+    return y_r, new_state

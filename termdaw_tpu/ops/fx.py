@@ -29,7 +29,7 @@ Every effect is formulated timeline-parallel:
 * delay — feedback echo (single comb, same residue-class scan).
 * bitcrush — sample/bit decimation, elementwise.
 * eq3 — 3-band EQ over Linkwitz-Riley 4th-order tree crossovers built from
-  true biquads (2x2-matrix tiled scans, ops/filters.biquad_apply).
+  true biquads (complex pole-cascade tiled scans, ops/filters.biquad_apply).
 * flanger — short LFO-modulated delay, gather-based.
 
 States are small device pytrees (delay tails + scan carries) so windowed

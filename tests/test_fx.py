@@ -73,6 +73,63 @@ class TestBuildingBlocks:
         np.testing.assert_allclose(y, exp, atol=1e-5)
 
 
+    def test_biquad_sequential_matches_float64(self, rng):
+        """The exact lane reproduces a per-frame float64 recurrence to f32
+        rounding (VERDICT weak 10 precision fallback)."""
+        from termdaw_tpu.ops.filters import (
+            biquad_apply_sequential, biquad_coefs, biquad_init_state,
+        )
+
+        x = rng.normal(size=(4096, 2)).astype(np.float32)
+        coefs = biquad_coefs("lowpass", 800.0, 48000)
+        y, _ = jax.jit(biquad_apply_sequential)(
+            jnp.asarray(x), coefs, biquad_init_state(2)
+        )
+        b0, b1, b2, a1, a2 = [float(c) for c in coefs]
+        exp = np.zeros_like(x, dtype=np.float64)
+        x64 = x.astype(np.float64)
+        for t in range(len(x)):
+            x1 = x64[t - 1] if t >= 1 else 0.0
+            x2 = x64[t - 2] if t >= 2 else 0.0
+            y1 = exp[t - 1] if t >= 1 else 0.0
+            y2 = exp[t - 2] if t >= 2 else 0.0
+            exp[t] = b0 * x64[t] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        np.testing.assert_allclose(a(y), exp, atol=5e-5)
+
+    def test_biquad_parallel_close_to_sequential(self, rng):
+        """Bounds the parallel prefix-scan reassociation error the code
+        documents (~1e-3 relative over long windows)."""
+        from termdaw_tpu.ops.filters import (
+            biquad_apply, biquad_apply_sequential, biquad_coefs,
+            biquad_init_state,
+        )
+
+        x = rng.normal(size=(32768, 2)).astype(np.float32)
+        coefs = biquad_coefs("highpass", 120.0, 48000)
+        ys, _ = jax.jit(biquad_apply_sequential)(
+            jnp.asarray(x), coefs, biquad_init_state(2)
+        )
+        yp, _ = jax.jit(biquad_apply)(
+            jnp.asarray(x), coefs, biquad_init_state(2)
+        )
+        scale = np.max(np.abs(a(ys))) + 1e-9
+        assert np.max(np.abs(a(yp) - a(ys))) / scale < 2e-3
+
+    def test_exact_biquad_env_routes_sequential(self, rng, monkeypatch):
+        from termdaw_tpu.ops import filters
+
+        monkeypatch.setenv("TERMDAW_EXACT_BIQUAD", "1")
+        x = rng.normal(size=(512, 2)).astype(np.float32)
+        coefs = filters.biquad_coefs("lowpass", 1000.0, 48000)
+        ye, _ = filters.biquad_apply(
+            jnp.asarray(x), coefs, filters.biquad_init_state(2)
+        )
+        ys, _ = filters.biquad_apply_sequential(
+            jnp.asarray(x), coefs, filters.biquad_init_state(2)
+        )
+        np.testing.assert_array_equal(a(ye), a(ys))
+
+
 class TestEffects:
     def test_reverb_tail_rings(self):
         x = np.zeros((SR, 2), np.float32)

@@ -46,3 +46,27 @@ def test_entry_compiles():
     ns, audio = jax.jit(fn)(*args)
     assert audio.shape[1] == 2
     assert audio.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_sharded_biquad_cascade_8dev():
+    """The complex-cascade biquad (ops/filters.biquad_apply) under an
+    8-device timeline shard matches single-device bit-tight; runs in a
+    PYTHONPATH-scrubbed CPU subprocess like the dryrun."""
+    import os
+    import subprocess
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tests" / "subproc" /
+                             "sharded_biquad_check.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
