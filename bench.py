@@ -359,11 +359,6 @@ def main() -> None:
     log(f"building config 1: sample project ({length_sec}s @ {sr} Hz)...")
     st1 = build_c1_sample_project(tmp / "c1", length_sec, sr, bl)
     chip1, e2e1 = measure_config(st1, length_sec, reps, "c1", extra)
-    try:
-        measure_playback(st1, extra)
-    except Exception as e:  # pragma: no cover
-        log(f"playback measurement failed: {e}")
-        extra["playback_error"] = str(e)[:300]
 
     builders = {
         "c2_negadsr": build_c2_neg_adsr,
@@ -380,6 +375,16 @@ def main() -> None:
             log(f"{name} failed: {e}")
             extra[f"{name}_error"] = str(e)[:300]
 
+    # playback pacing last: a tunnel stall here can leave an orphan thread
+    # blocked in a fetch (nothing is measured after, so it contaminates
+    # nothing), and main exits via os._exit below so the orphan can't
+    # abort interpreter teardown
+    try:
+        measure_playback(st1, extra)
+    except Exception as e:  # pragma: no cover
+        log(f"playback measurement failed: {e}")
+        extra["playback_error"] = str(e)[:300]
+
     result = {
         "metric": "render_throughput_chip_sample_project",
         "value": round(length_sec / chip1, 1),
@@ -388,6 +393,9 @@ def main() -> None:
         "extra": extra,
     }
     print(json.dumps(result))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # skip teardown: a stall-orphaned fetch thread would abort
 
 
 if __name__ == "__main__":

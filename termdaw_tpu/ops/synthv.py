@@ -168,12 +168,17 @@ def sampsyn(
     p1 = jnp.mod(p0 + 1, W)
     fracf = frac.reshape(-1)
 
-    # ONE row-gather [N, 4] instead of four 1-D gathers: each table row
-    # packs (w_k[p], w_k[p+1], w_{k+1}[p], w_{k+1}[p+1]) so the phase
-    # interpolation and snapshot blend read everything in one gather —
-    # measured ~2.4x faster than separate flat gathers on this TPU (and a
-    # Pallas VMEM-table kernel was probed and abandoned: this Mosaic has
-    # no usable vectorized VMEM gather). p1 wrap rides the roll.
+    # ONE row-gather [N, 4]: each table row packs
+    # (w_k[p], w_k[p+1], w_{k+1}[p], w_{k+1}[p+1]) so the phase
+    # interpolation and snapshot blend read everything in one gather.
+    # Measured alternatives on this TPU (amortized fori_loop microbench at
+    # N = 16.8M + whole-config wall clock): this row gather runs ~12 ms
+    # (~1/3 of a 512-block sampsyn window); four flat [N] gathers lower
+    # ~4x WORSE (whole config 515 ms vs 132 ms); a Pallas VMEM-table
+    # kernel was probed and abandoned (this Mosaic has no usable
+    # vectorized VMEM gather). The remaining window cost is the [nb,bl,P]
+    # envelope/phase elementwise field, which scales with polyphony.
+    # p1 wrap rides the roll.
     del p1
     wnext = jnp.roll(table_waves, -1, axis=1)
     knext = jnp.minimum(jnp.arange(K) + 1, K - 1)
