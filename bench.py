@@ -288,15 +288,17 @@ def probe_link(extra: dict) -> None:
 
 
 def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
-    """Wall-clock-paced playback margin on the real chip (VERDICT weak 9):
-    drive Player.tick against a NullSink for `seconds` of wall time and
-    record whether generation kept ahead of the audio clock, the worst
-    instantaneous deficit, and the realized block throughput.
+    """Wall-clock-paced playback margin on the real chip (VERDICT weak 9).
 
-    Runs in a watchdog thread: the dev-harness tunnel occasionally stalls a
-    single device->host fetch for minutes (observed 285 s), which would
-    otherwise wedge the whole bench; on timeout the result is recorded as
-    a stall, playback is asked to stop, and the bench moves on."""
+    A worker thread drives Player.tick against a NullSink; the main thread
+    samples `millis_generated` for `seconds` of wall time and reports the
+    equilibrium generation rate. When per-block dispatch+fetch latency
+    sits at or above the block budget (21.3 ms at 48k/1024 — true on this
+    dev tunnel, whose every device call costs ~10-30 ms; false on-host),
+    tick's catch-up drain never returns, so the measurement samples from
+    outside rather than waiting for it. Reported: audio seconds generated
+    per wall second (>= 1.0 means sustained realtime) and the worst
+    instantaneous deficit."""
     import threading
 
     from termdaw_tpu.engine.player import Player
@@ -305,7 +307,7 @@ def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
     bl = st.config.settings.buffer_length
     sr = st.config.settings.project_samplerate
     pl = Player(st, NullSink(sr), sr, bl)
-    done = {}
+    warmed = threading.Event()
 
     def body():
         st.compiled.set_time(0)
@@ -316,33 +318,34 @@ def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
         st.compiled.set_time(0)
         st.fb.set_time(0)
         pl.play()
-        t_end = time.monotonic() + seconds
-        max_deficit = 0.0
-        blocks = 0
-        while time.monotonic() < t_end and pl.playing:
-            blocks += pl.tick()
-            elapsed_ms = (time.monotonic() - pl.since) * 1000.0
-            max_deficit = max(max_deficit, elapsed_ms - pl.millis_generated)
-            time.sleep(0.01)
-        pl.playing = False
-        done["max_deficit"] = max_deficit
-        done["blocks"] = blocks
-        done["gen_s"] = pl.millis_generated / 1000.0
+        warmed.set()
+        while pl.playing:
+            pl.tick()
+            time.sleep(0.005)
 
     t = threading.Thread(target=body, daemon=True)
     t.start()
-    t.join(timeout=seconds + 120.0)
-    if t.is_alive() or "gen_s" not in done:
-        pl.playing = False  # unblocks the loop once the stalled fetch ends
-        extra["playback_stalled"] = True
-        log("playback: measurement stalled on a tunnel fetch; skipped")
+    if not warmed.wait(timeout=300):
+        pl.playing = False
+        extra["playback_error"] = "warmup did not finish in 300s"
+        log("playback: warmup timed out; skipped")
         return
-    gen_s = done["gen_s"]
-    extra["playback_realtime_ok"] = bool(gen_s + 0.1 >= seconds)
-    extra["playback_max_deficit_ms"] = round(done["max_deficit"], 1)
-    extra["playback_blocks"] = done["blocks"]
-    log(f"playback: {gen_s:.1f}s generated in {seconds:.1f}s wall, "
-        f"max deficit {done['max_deficit']:.0f} ms, {done['blocks']} blocks")
+    t0 = time.monotonic()
+    max_deficit = 0.0
+    while time.monotonic() - t0 < seconds:
+        elapsed_ms = (time.monotonic() - pl.since) * 1000.0
+        max_deficit = max(max_deficit, elapsed_ms - pl.millis_generated)
+        time.sleep(0.05)
+    wall = time.monotonic() - t0
+    gen_s = pl.millis_generated / 1000.0
+    pl.playing = False  # tick's drain loop checks this and exits
+    t.join(timeout=60.0)
+    rate = gen_s / max(wall, 1e-9)
+    extra["playback_gen_per_wall"] = round(rate, 2)
+    extra["playback_realtime_ok"] = bool(rate >= 0.98)
+    extra["playback_max_deficit_ms"] = round(max_deficit, 1)
+    log(f"playback: {gen_s:.1f}s audio in {wall:.1f}s wall "
+        f"({rate:.2f}x realtime), max deficit {max_deficit:.0f} ms")
 
 
 def main() -> None:

@@ -70,6 +70,15 @@ class Player:
         cg = self.state.compiled
         block_ms = self.buffer_len / self.proj_sr * 1000.0
         while True:
+            # `stop()`/`pause()` from another thread must be able to end a
+            # long catch-up drain: when per-block dispatch+fetch latency
+            # rides at the block budget (~21 ms at 48k/1024 on the dev
+            # tunnel) the deficit never reaches zero and this loop runs
+            # for as long as playback is wanted — which is correct
+            # (audio keeps flowing, reference ui_workflow.rs:199-208
+            # drains identically) but must stay interruptible.
+            if not self.playing:
+                break
             elapsed_ms = (time.monotonic() - self.since) * 1000.0
             deficit_ms = elapsed_ms - (self.millis_generated - 0.5)
             if deficit_ms <= 0:
