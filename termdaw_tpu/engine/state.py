@@ -48,6 +48,24 @@ from ..utils.prof import span, device_trace
 # blocks per device call when rendering long timelines (bounds peak memory
 # AND compile time; windows chain exactly through carried state)
 RENDER_WINDOW_BLOCKS = 512
+_MIN_EQUAL_CHUNK = 256
+
+
+def render_chunk_blocks(cs: int) -> int:
+    """Window size (in blocks) for chunked renders.
+
+    Prefer the largest divisor of `cs` in [_MIN_EQUAL_CHUNK,
+    RENDER_WINDOW_BLOCKS]: equal-size chunks mean ONE compiled window
+    program per graph instead of two (the steady chunk plus a ragged
+    remainder), halving cold-start compile time on this chip (each big
+    window program costs ~20-50 s to compile cold). Falls back to
+    RENDER_WINDOW_BLOCKS (ragged last chunk) when `cs` has no divisor in
+    range. Semantics are unchanged — chunk boundaries are invisible
+    (window-chaining invariance, tools/parity_report.py config 4)."""
+    for d in range(min(cs, RENDER_WINDOW_BLOCKS), _MIN_EQUAL_CHUNK - 1, -1):
+        if cs % d == 0:
+            return d
+    return RENDER_WINDOW_BLOCKS
 
 
 def _finish_render_impl(windows, psr: int, render_sr: int, bd: int):
@@ -485,8 +503,9 @@ class State:
         cg.set_time(0)
         self.fb.set_time(0)
         left = self.cs
+        step = render_chunk_blocks(self.cs)
         while left > 0:
-            nb = min(left, RENDER_WINDOW_BLOCKS)
+            nb = min(left, step)
             cg.render_window(self.fb, nb, is_scan=True)
             self.fb.advance_blocks(nb)
             left -= nb
@@ -571,8 +590,9 @@ class State:
             chunks.append(ints)
 
         left = self.cs
+        step = render_chunk_blocks(self.cs)
         while left > 0:
-            nb = min(left, RENDER_WINDOW_BLOCKS)
+            nb = min(left, step)
             win = cg.render_window(self.fb, nb)
             self.fb.advance_blocks(nb)
             left -= nb
