@@ -349,3 +349,27 @@ class TestRefreshDiff:
         )
         st.refresh()
         assert not st.loaded
+
+
+def test_render_chunk_blocks_divisor_selection():
+    """Equal-size chunks picked whenever a divisor in [256, 512] exists;
+    ragged fallback otherwise (engine/state.py:render_chunk_blocks)."""
+    from termdaw_tpu.engine.state import (
+        render_chunk_blocks, RENDER_WINDOW_BLOCKS,
+    )
+
+    assert render_chunk_blocks(1875) == 375       # 5 equal chunks
+    assert render_chunk_blocks(1024) == 512
+    assert render_chunk_blocks(512) == 512
+    assert render_chunk_blocks(300) == 300        # cs itself in range
+    assert render_chunk_blocks(941) == RENDER_WINDOW_BLOCKS  # prime: ragged
+    assert render_chunk_blocks(1) == RENDER_WINDOW_BLOCKS    # tiny: one call
+    for cs in (1875, 2048, 3000, 941, 37):
+        step = render_chunk_blocks(cs)
+        # chunk loop must terminate and cover exactly cs blocks
+        left, total = cs, 0
+        while left > 0:
+            nb = min(left, step)
+            total += nb
+            left -= nb
+        assert total == cs
