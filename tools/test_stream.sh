@@ -41,9 +41,13 @@ set_output("sum");
 EOF
 
 echo "streaming $DUR s of generated beats through the DAW..."
+# scrubbed CPU backend: this smoke tests workflow pacing/logic, and the
+# dev harness's remote-TPU first-fetch tax (100-400 s) would starve the
+# idle timer before any audio lands. PYTHONPATH carries ONLY the repo so
+# the axon sitecustomize does not register the TPU plugin.
 python "$REPO/tools/stream_gen.py" --duration "$DUR" --streams kick,snare,hat \
   | TERMDAW_SINK="file:$DIR/capture.wav" TERMDAW_STREAM_IDLE=3 \
-    PYTHONPATH="$REPO" python -m termdaw_tpu "$DIR"
+    PYTHONPATH="$REPO" JAX_PLATFORMS=cpu python -m termdaw_tpu "$DIR"
 
 python - "$DIR" <<'EOF'
 import sys, pathlib
