@@ -91,16 +91,23 @@ class FlowwBank:
         self.start_indices: list[int] = []
         self.names: dict[str, int] = {}
         self.stream_list: list[int] = []
-        self._frames_cache: list[np.ndarray | None] = []
+        # per-floww (events_array_identity, frames) pairs; see _event_frames
+        self._frames_cache: list[tuple | None] = []
 
     def _event_frames(self, i: int) -> np.ndarray:
-        """Cached event_frames per floww (invalidated on mutation) — the
-        uncached version dominated multi-track render host time."""
+        """Cached event_frames per floww — the uncached version dominated
+        multi-track render host time. The cache key is the identity of the
+        events array itself, so a direct `fb.flowws[i] = new_events`
+        replacement (tools and tests do this) can never serve stale
+        frames; in-place writes into a live events array remain
+        unsupported (nothing does that — all mutation paths replace the
+        array)."""
         c = self._frames_cache[i]
-        if c is None:
-            c = event_frames(self.flowws[i], self.sr)
+        ev = self.flowws[i]
+        if c is None or c[0] is not ev:
+            c = (ev, event_frames(ev, self.sr))
             self._frames_cache[i] = c
-        return c
+        return c[1]
 
     # -- registration (reference floww.rs:23-64) ---------------------------
     def reset(self) -> None:

@@ -20,8 +20,9 @@ Documented deviations:
   event-driven vertices — state.rs:575 resets only g);
 * a resource/graph build failure aborts the refresh with a message instead
   of panicking (state.rs:393, 410-413);
-* render down-sampling filters the whole bounce in one pass instead of
-  rubato's per-chunk streaming (same filter recipe; no chunk-edge state);
+* render down-sampling uses a first-party exactly-chunked streaming
+  polyphase resampler (same filter recipe as rubato's; no chunk-edge
+  artifacts, ops/resample.StreamingResampler);
 * relative asset/output paths resolve against the project dir (the
   reference hands them to the OS as-is, i.e. cwd-relative), so projects
   are runnable from anywhere.
@@ -66,28 +67,6 @@ def render_chunk_blocks(cs: int) -> int:
         if cs % d == 0:
             return d
     return RENDER_WINDOW_BLOCKS
-
-
-def _finish_render_impl(windows, psr: int, render_sr: int, bd: int):
-    """One-shot finisher (kept for tests/tools): concat -> resample ->
-    quantize in a single device call."""
-    import jax.numpy as jnp
-
-    audio = jnp.concatenate(windows, axis=0)
-    if psr > render_sr:
-        from ..ops.resample import resample_device
-
-        audio = resample_device(audio, psr, render_sr)
-    from ..ops.quantize import quantize_interleave_traced
-
-    return quantize_interleave_traced(audio, bd)
-
-
-import jax as _jax
-
-_finish_render = _jax.jit(
-    _finish_render_impl, static_argnames=("psr", "render_sr", "bd")
-)
 
 
 def _floats(v) -> list[float]:

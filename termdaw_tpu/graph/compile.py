@@ -323,8 +323,19 @@ class CompiledGraph:
                 self.carries[vi] = B.AdsrCarry()
 
         # padded channel-major copies (Pallas voice kernel) in a stable
-        # order so they can ride the call as traced args
-        self.padded_order = tuple(sorted(self.samples_padded))
+        # order so they can ride the call as traced args. Multi-sample
+        # fused groups get their concatenated buffer built ONCE here (a
+        # device array passed like any other sample) instead of
+        # re-concatenating inside the traced window program on every
+        # window execution.
+        for c, (poses, _bases) in self._fused_layout.items():
+            if len(poses) > 1:
+                self.samples_padded[("fused", c)] = jnp.concatenate(
+                    [self.samples_padded[p] for p in poses], axis=1
+                )
+        self.padded_order = tuple(
+            sorted(self.samples_padded, key=lambda k: (isinstance(k, tuple), k))
+        )
 
         self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
 
@@ -684,10 +695,10 @@ class CompiledGraph:
         if len(poses) == 1:
             buf = samples_padded[self.padded_order.index(poses[0])]
         else:
-            buf = jnp.concatenate(
-                [samples_padded[self.padded_order.index(p)] for p in poses],
-                axis=1,
-            )
+            # prebuilt at graph build (see padded_order setup) — the
+            # concat must NOT happen inside the traced program, where it
+            # would re-materialize every window
+            buf = samples_padded[self.padded_order.index(("fused", consumer))]
         tbl = bakes[f"fused{consumer}"]
         amps = jnp.stack(
             [mix.post_amps(angles[m], gains[m]) for m in members]

@@ -110,14 +110,6 @@ def affine_cumulative(
     return tiled_cumulative(_affine_combine, (1.0, 0.0), (A, B))
 
 
-def first_order_scan(x: jnp.ndarray, a, y0: jnp.ndarray) -> jnp.ndarray:
-    """y[i] = a*y[i-1] + b[i] with b given in `x` [T, C]; a broadcastable
-    [C]; y0 [C]. Returns y [T, C]."""
-    A = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
-    A_cum, B_cum = affine_cumulative(A, x)
-    return A_cum * y0 + B_cum
-
-
 # ---------------------------------------------------------------------------
 # cross-device boundary composition (sequence-parallel effects)
 # ---------------------------------------------------------------------------
@@ -155,7 +147,7 @@ def exclusive_total(combine, identity, summary: tuple, axis_name: str):
 def first_order_scan_sharded(
     x: jnp.ndarray, a, y0: jnp.ndarray, axis_name: str | None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sharded-aware first_order_scan: returns (y_local [T, C],
+    """First-order IIR scan y[i] = a*y[i-1] + x[i]: returns (y_local [T, C],
     y_final_global [C]) — the final state is the GLOBAL stream's last
     value, replicated, so carried state stays consistent."""
     A = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)

@@ -165,13 +165,6 @@ def delayed_read(
     return xcat[p0] * (1 - frac) + xcat[p0 + 1] * frac
 
 
-def _update_tail(x: jnp.ndarray, tail: jnp.ndarray) -> jnp.ndarray:
-    """New last-M-samples tail after appending window x."""
-    M = tail.shape[0]
-    xcat = jnp.concatenate([tail, x], axis=0)
-    return jax.lax.dynamic_slice_in_dim(xcat, x.shape[0], M, axis=0)
-
-
 # ---------------------------------------------------------------------------
 # reverb
 # ---------------------------------------------------------------------------

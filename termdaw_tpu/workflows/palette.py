@@ -108,12 +108,40 @@ class Palette:
             return None
         return items[min(self.sel, len(items) - 1)]
 
+    def restore_terminal(self) -> None:
+        """Restore the TTY to the mode seen before the first read_command.
+        Safe to call from any thread / multiple times — needed when the
+        main thread exits (quit or KeyboardInterrupt) while the reader
+        thread is still blocked inside read_command, whose own `finally`
+        never runs for a daemon thread."""
+        import termios
+
+        saved = getattr(self, "_saved_termios", None)
+        if saved is not None:
+            try:
+                termios.tcsetattr(self.inp.fileno(), termios.TCSANOW, saved)
+            except (OSError, ValueError):
+                pass
+
+    def _read1(self, fd: int) -> str:
+        """One keystroke, read UNBUFFERED from the fd (os.read, not the
+        text layer): the Esc-vs-escape-sequence peek below selects on the
+        raw fd, which only works if no bytes hide in a Python-side
+        buffer. Multi-byte UTF-8 decodes to U+FFFD and is ignored by the
+        printable check — commands are ASCII."""
+        import os as _os
+
+        b = _os.read(fd, 1)
+        return b.decode("utf-8", "replace") if b else ""
+
     def read_command(self) -> str | None:
         import termios
         import tty
 
         fd = self.inp.fileno()
         old = termios.tcgetattr(fd)
+        if getattr(self, "_saved_termios", None) is None:
+            self._saved_termios = old
         try:
             tty.setcbreak(fd)
             self.query = ""
@@ -121,7 +149,7 @@ class Palette:
             self._drawn_rows = 0
             self._draw()
             while True:
-                ch = self.inp.read(1)
+                ch = self._read1(fd)
                 if ch == "":  # closed tty
                     self._finish("")
                     return None
@@ -143,7 +171,10 @@ class Palette:
                         self.query = cmd + self._args()
                 elif ch in ("\x7f", "\x08"):  # backspace
                     self.query = self.query[:-1]
-                elif ch == "\x03":  # Ctrl-C clears
+                elif ch == "\x03":
+                    # only reachable if the caller disabled ISIG; normally
+                    # Ctrl-C raises KeyboardInterrupt in the main thread,
+                    # which ui.py turns into a clean quit + terminal restore
                     self.query = ""
                     self.sel = 0
                 elif ch == "\x10":  # Ctrl-P
@@ -151,16 +182,28 @@ class Palette:
                 elif ch == "\x0e":  # Ctrl-N
                     self.sel += 1
                 elif ch == "\x1b":
-                    seq = self.inp.read(1)
-                    if seq == "[":
-                        code = self.inp.read(1)
-                        if code == "A":
-                            self.sel = max(0, self.sel - 1)
-                        elif code == "B":
-                            self.sel += 1
-                    else:  # bare Esc clears
+                    # distinguish a bare Esc from an escape sequence by
+                    # peeking: sequence bytes arrive together, so if
+                    # nothing is pending shortly after the ESC it was a
+                    # lone keypress (blocking read(1) here would swallow
+                    # the user's next real character)
+                    import select
+
+                    r, _, _ = select.select([fd], [], [], 0.05)
+                    if not r:  # bare Esc clears
                         self.query = ""
                         self.sel = 0
+                    else:
+                        seq = self._read1(fd)
+                        if seq == "[":
+                            code = self._read1(fd)
+                            if code == "A":
+                                self.sel = max(0, self.sel - 1)
+                            elif code == "B":
+                                self.sel += 1
+                        else:
+                            self.query = ""
+                            self.sel = 0
                 elif ch.isprintable():
                     self.query += ch
                     self.sel = 0

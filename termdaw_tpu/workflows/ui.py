@@ -59,13 +59,16 @@ def run_ui_workflow(
         and inp.isatty()
     )
 
-    def reader() -> None:
-        if use_palette:
-            # arrow-key fuzzy selector on the controlling TTY
-            # (reference ui_workflow.rs:35-45, doc.md:40-42)
-            from .palette import Palette
+    pal = None
+    if use_palette:
+        # arrow-key fuzzy selector on the controlling TTY
+        # (reference ui_workflow.rs:35-45, doc.md:40-42)
+        from .palette import Palette
 
-            pal = Palette(COMMANDS)
+        pal = Palette(COMMANDS)
+
+    def reader() -> None:
+        if pal is not None:
             while True:
                 try:
                     line = pal.read_command()
@@ -87,6 +90,24 @@ def run_ui_workflow(
     t.start()
 
     player = Player(state, sink, proj_sr, buffer_len)
+    try:
+        _engine_loop(
+            state, sink, player, cmd_queue, inp, proj_sr
+        )
+    except KeyboardInterrupt:
+        # Ctrl-C = clean quit (the reference's process would just die;
+        # here the palette may hold the TTY in cbreak/no-echo)
+        print(f"\n{MAGENTA}---- quit (interrupt){DEFAULT}")
+    finally:
+        if pal is not None:
+            # the reader is a daemon blocked in read(); its own finally
+            # never runs on interpreter exit — restore the terminal here
+            # (idempotent, thread-safe)
+            pal.restore_terminal()
+        sink.close()
+
+
+def _engine_loop(state, sink, player, cmd_queue, inp, proj_sr) -> None:
     running = True
     while running:
         try:
@@ -148,7 +169,17 @@ def run_ui_workflow(
         elif cmd == "set":
             if check_loaded():
                 parts = line.split()
-                raw = parts[1] if len(parts) > 1 else _prompt_time(inp)
+                if len(parts) > 1:
+                    raw = parts[1]
+                elif getattr(inp, "isatty", lambda: False)():
+                    # palette mode: the reader thread owns the TTY in
+                    # cbreak, so a main-thread readline would race it
+                    # char-for-char — take the time inline instead
+                    print(f"{RED}Usage: set <seconds> (type it after "
+                          f"the command, e.g. 'set 12.5').{DEFAULT}")
+                    continue
+                else:
+                    raw = _prompt_time(inp)
                 try:
                     seconds = float(raw)
                 except (TypeError, ValueError):
@@ -173,7 +204,6 @@ def run_ui_workflow(
             if check_loaded():
                 for name, val in state.compiled.get_normalization_values():
                     print(f"{MAGENTA} {name}: {val}{DEFAULT}")
-    sink.close()
 
 
 def _prompt_time(inp) -> str | None:

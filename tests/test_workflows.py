@@ -263,12 +263,28 @@ class TestPalette:
         # wait for the first prompt draw: cbreak mode is then active, so
         # keystrokes bypass the canonical line discipline
         assert drew.wait(timeout=10)
+
+        def wait_results(n, timeout=10.0):
+            # pace like a human: the next command only after the previous
+            # submit was consumed — between read_command calls the TTY
+            # briefly returns to canonical mode, where a queued ^D would
+            # be eaten by the line discipline instead of reaching the
+            # palette
+            import time as _time
+
+            end = _time.monotonic() + timeout
+            while len(results) < n and _time.monotonic() < end:
+                _time.sleep(0.01)
+            assert len(results) >= n, results
+
         # "p" filters to [play, pause, >skip]; Down selects "pause"; Enter
         os.write(master, b"p")
         os.write(master, b"\x1b[B")
         os.write(master, b"\r")
+        wait_results(1)
         # "set 12.5" -> submits highlighted cmd + arg words
         os.write(master, b"set 12.5\r")
+        wait_results(2)
         os.write(master, b"\x04")  # Ctrl-D on empty -> None
         t.join(timeout=10)
         alive = t.is_alive()
