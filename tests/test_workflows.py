@@ -175,6 +175,12 @@ class TestSinks:
         assert isinstance(make_sink(SR, "null"), NullSink)
         assert isinstance(make_sink(SR, "file:/tmp/x.wav"), FileSink)
 
+    def test_make_sink_auto_falls_back_headless(self):
+        """`auto` tries ALSA and must fall back to null on this headless
+        image instead of raising (sink.py:make_sink)."""
+        s = make_sink(SR, "auto")
+        assert isinstance(s, NullSink) or type(s).__name__ == "AlsaSink"
+
 
 class TestCli:
     def test_cli_headless_render(self, tmp_path, monkeypatch, capsys):
