@@ -368,6 +368,11 @@ def main() -> None:
         "c3_synths": build_c3_synths,
         "c4_fullgraph": build_c4_fullgraph,
         "c5_stream64": build_c5_stream_mix,
+        # scaling extra (not a BASELINE config): 4x config 5's tracks —
+        # the fused voice-mix kernel scales near-linearly in live voices
+        "c6_stream256": lambda d, ls, sr, bl: build_c5_stream_mix(
+            d, ls, sr, bl, n_tracks=256
+        ),
     }
     for name, build in builders.items():
         try:
