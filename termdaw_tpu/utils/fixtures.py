@@ -78,21 +78,36 @@ def build_demo_project(
     fx_load = fx_graph = fx_wire = ""
     final_in = "band"
     if include_fx:
+        # one effect per recurrence family so full-graph checks (incl.
+        # the multichip dryrun) exercise every sharded scan type:
+        # feedback combs + allpasses (reverb), max-decay + one-pole
+        # (compressor), biquad pole-cascade (eq3), static-D comb (delay)
         fx_load = """
 load_lv2("verb", "native:reverb");
 load_lv2("comp", "native:compressor");
+load_lv2("eq", "native:eq3");
+load_lv2("del", "native:delay");
 parameter("comp", "Attack", 30.0);
 parameter("comp", "Ratio", 3.0);
+parameter("eq", "low freq", 180.0);
+parameter("eq", "low gain", -3.0);
+parameter("eq", "high gain", 2.0);
+parameter("del", "time", 120.0);
+parameter("del", "feedback", 0.35);
 """
         fx_graph = """
 add_lv2fx("fxverb", 1.0, 0.0, 0.4, "verb");
 add_lv2fx("fxcomp", 1.0, 0.0, 1.0, "comp");
+add_lv2fx("fxeq", 1.0, 0.0, 1.0, "eq");
+add_lv2fx("fxdel", 1.0, 0.0, 0.3, "del");
 """
         fx_wire = """
 connect("band", "fxverb");
 connect("fxverb", "fxcomp");
+connect("fxcomp", "fxeq");
+connect("fxeq", "fxdel");
 """
-        final_in = "fxcomp"
+        final_in = "fxdel"
 
     (d / "project.lua").write_text(f"""
 set_length({length_sec});
