@@ -282,6 +282,31 @@ class TestEq3AndFlanger:
         hi_bin = spec[np.argmin(np.abs(freqs - 3500))]
         assert lo_bin < hi_bin * 0.25
 
+    def test_eq3_low_freq_param_moves_crossover(self):
+        """VERDICT item 7 'Done' criterion: `parameter("eq", "low freq", x)`
+        must actually move the LR4 crossover. A 400 Hz tone with the low
+        band cut -40 dB is untouched when the crossover sits at 250 Hz
+        (tone is in the mid band) and strongly attenuated when the
+        crossover moves to 800 Hz (tone now in the low band)."""
+        sr = 8000
+        t = np.arange(sr) / sr
+        x = np.stack([np.sin(2 * np.pi * 400 * t)] * 2, 1).astype(np.float32)
+
+        def level(low_freq):
+            y, _ = process(
+                "eq3", x,
+                {"low_gain": -40.0, "high_gain": 0.0,
+                 "low_freq": low_freq, "high_freq": 3000.0},
+                sr=sr,
+            )
+            tail = a(y)[sr // 2 :, 0]
+            return float(np.sqrt(np.mean(tail**2)))
+
+        kept = level(250.0)     # 400 Hz in the mid band: ~unity
+        cut = level(800.0)      # 400 Hz in the low band: ~-40 dB
+        assert kept > 0.5
+        assert cut < kept * 0.1
+
     def test_flanger_runs_and_chains(self, rng):
         x = rng.normal(size=(512, 2)).astype(np.float32) * 0.3
         full, _ = process("flanger", x)
