@@ -11,7 +11,9 @@ equivalent: a raw-mode line editor on the controlling TTY with
 * Tab to complete the query to the highlighted command,
 * Enter to submit — the highlighted command plus any argument words typed
   after the first space (so `set 12.5` works exactly like line mode),
-* Esc/Ctrl-C to clear the query, Ctrl-D on an empty query to quit.
+* Esc to clear the query, Ctrl-D on an empty query to quit (Ctrl-C
+  raises KeyboardInterrupt in the engine thread, which quits cleanly
+  and restores the terminal — see ui.run_ui_workflow).
 
 It is used only when stdin is a real TTY; piped input (tests, stream
 drives, `echo render | ...`) keeps the plain line reader in ui.py.
