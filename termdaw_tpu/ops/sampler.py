@@ -66,19 +66,57 @@ def sample_lerp(
     after a trigger the ghost weight is (lerp_len-1-d)/lerp_len while
     d < lerp_len."""
     L = sample.shape[0]
+    T = frames.shape[0]
     t = frames  # [T]
-    seg = jnp.searchsorted(bake["bounds"], t, side="right")  # [T]
-    p_start = bake["p_starts"][seg]
-    p_vel = bake["p_vels"][seg]
-    g_start = bake["g_starts"][seg]
-    g_vel = bake["g_vels"][seg]
-    ppos = jnp.clip(t - p_start, 0, L - 1)
-    gpos = jnp.clip(t - g_start, 0, L - 1)
-    p = sample[ppos] * p_vel[:, None]
-    g = sample[gpos] * g_vel[:, None]
-    cd = bake["cd_init"][seg] - (t - bake["cd_anchor"][seg])
-    fade = cd > 0
+    f0 = frames[0]
     denom = float(max(lerp_len, 1))
-    tc = jnp.clip((cd - 1).astype(jnp.float32) / denom, 0.0, 1.0)
-    blend = g * tc[:, None] + p * (1.0 - tc[:, None])
-    return jnp.where(fade[:, None], blend, p)
+
+    # Segment-slice formulation: within a segment (between triggers) the
+    # sample positions t - start are CONSECUTIVE, so each voice is a
+    # dynamic slice of a hold-extended sample instead of a per-frame
+    # gather (per-element gathers cost ~10x the whole vertex's remaining
+    # work on this TPU). ext = [sample[0]]*T ++ sample ++ [sample[-1]]*T
+    # realizes the position clamp at both ends; slice offset
+    # T + f0 - start lands every in-window position correctly for any
+    # start (clamped offsets only occur in masked-out segments).
+    ext = jnp.concatenate(
+        [
+            jnp.broadcast_to(sample[0:1], (T, 2)),
+            sample,
+            jnp.broadcast_to(sample[L - 1 : L], (T, 2)),
+        ],
+        axis=0,
+    )  # [2T + L, 2]
+    bounds = bake["bounds"]  # [B] int32, INF_FRAME-padded
+    B = bounds.shape[0]
+    n_bounds = bake["n_bounds"]  # real segment boundaries
+    S = bake["p_starts"].shape[0]  # padded segment count
+    INF = jnp.int32(2**31 - 1)
+    NEG = jnp.int32(-(2**31) + 1)
+
+    def voice(start_s):
+        off = jnp.clip(T + f0 - start_s, 0, T + L)
+        return jax.lax.dynamic_slice(ext, (off, jnp.int32(0)), (T, 2))
+
+    def body(s, acc):
+        lo = jnp.where(
+            s == 0, NEG,
+            jnp.where(
+                s - 1 < n_bounds,
+                bounds[jnp.clip(s - 1, 0, B - 1)], INF,
+            ),
+        )
+        hi = jnp.where(s < n_bounds, bounds[jnp.clip(s, 0, B - 1)], INF)
+        p = voice(bake["p_starts"][s]) * bake["p_vels"][s]
+        g = voice(bake["g_starts"][s]) * bake["g_vels"][s]
+        cd = bake["cd_init"][s] - (t - bake["cd_anchor"][s])
+        fade = cd > 0
+        tc = jnp.clip((cd - 1).astype(jnp.float32) / denom, 0.0, 1.0)
+        blend = g * tc[:, None] + p * (1.0 - tc[:, None])
+        val = jnp.where(fade[:, None], blend, p)
+        mask = ((t >= lo) & (t < hi))[:, None]
+        return acc + jnp.where(mask, val, 0.0)
+
+    return jax.lax.fori_loop(
+        0, S, body, jnp.zeros((T, 2), jnp.float32)
+    )
