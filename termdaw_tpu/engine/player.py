@@ -29,6 +29,16 @@ class Player:
         self.resync_fb_each_block = False  # stream workflow turns this on
 
     def play(self) -> None:
+        cg = self.state.compiled
+        if cg is not None and self.state.cs > 0:
+            # pin bake-table caps to the full known schedule so playback
+            # windows reuse one compiled layout per window size
+            from ..engine.state import render_chunk_blocks
+
+            cg.seed_caps(
+                self.state.fb, self.state.cs,
+                render_chunk_blocks(self.state.cs),
+            )
         self.playing = True
         self.since = time.monotonic()
         self.millis_generated = 0.0

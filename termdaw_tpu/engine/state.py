@@ -483,6 +483,7 @@ class State:
         self.fb.set_time(0)
         left = self.cs
         step = render_chunk_blocks(self.cs)
+        cg.seed_caps(self.fb, self.cs, step)
         while left > 0:
             nb = min(left, step)
             cg.render_window(self.fb, nb, is_scan=True)
@@ -570,6 +571,9 @@ class State:
 
         left = self.cs
         step = render_chunk_blocks(self.cs)
+        # pin bake-table caps from the full known schedule so every window
+        # below produces the same table layout (no per-window jit variants)
+        cg.seed_caps(self.fb, self.cs, step)
         while left > 0:
             nb = min(left, step)
             win = cg.render_window(self.fb, nb)

@@ -37,18 +37,35 @@ def _pad_pow2(n: int, lo: int = 1) -> int:
     return p
 
 
+def _capped(natural: int, cap: int | None) -> int:
+    """Padded size under a sticky cap: exactly `cap` when the natural
+    pow2-padded size fits (stable jit layouts across windows), the natural
+    pow2 size otherwise (growth; the caller records the new cap)."""
+    n = _pad_pow2(max(natural, 1))
+    return n if cap is None else max(n, cap)
+
+
 def block_table(
-    starts: np.ndarray, ends: np.ndarray, t0: int, nb: int, bl: int
+    starts: np.ndarray, ends: np.ndarray, t0: int, nb: int, bl: int,
+    p_cap: int | None = None, steal: bool = False,
 ) -> np.ndarray:
     """Map instances with [start, end) frame spans to a per-block index
     table [nb, P] (int32, -1 = empty). P is padded to a power of two so jit
     cache keys stay stable across bakes.
 
+    With `p_cap` (a power of two), P is pinned to exactly `p_cap` whenever
+    the window's natural concurrency fits — windows with different event
+    densities then produce IDENTICAL table shapes, so the jitted window
+    program never re-specializes on event data (VERDICT r2 item 2). On
+    overflow: `steal=True` drops the OLDEST voices per block (the
+    documented overflow policy, SURVEY §7); otherwise P grows to the next
+    power of two (the caller records the new high-water cap).
+
     Fully vectorized (long-release synth notes can span hundreds of blocks
     each; a per-block Python loop dominated render time)."""
     n = len(starts)
     if n == 0:
-        return np.full((nb, 1), -1, np.int32)
+        return np.full((nb, max(p_cap or 1, 1)), -1, np.int32)
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
     t1 = t0 + nb * bl
@@ -57,7 +74,7 @@ def block_table(
     live = (ends > t0) & (starts < t1) & (k1 > k0)
     ids = np.nonzero(live)[0]
     if len(ids) == 0:
-        return np.full((nb, 1), -1, np.int32)
+        return np.full((nb, max(p_cap or 1, 1)), -1, np.int32)
     k0 = k0[ids].astype(np.int64)
     k1 = k1[ids].astype(np.int64)
     spans = (k1 - k0).astype(np.int64)
@@ -74,7 +91,21 @@ def block_table(
     first_of_block = np.searchsorted(block_sorted, block_sorted)
     slot = np.arange(total) - first_of_block
     pmax = int(slot.max()) + 1 if total else 0
-    p = _pad_pow2(max(pmax, 1))
+    if p_cap is not None and pmax > p_cap and steal:
+        # oldest-voice steal: keep each block's LAST p_cap instances
+        # (instances are in trigger order: carry voices first, then new
+        # events chronologically), drop the rest
+        counts = np.bincount(block_sorted, minlength=nb)
+        slot = slot - (counts[block_sorted] - p_cap).clip(min=0)
+        keep = slot >= 0
+        block_sorted, slot, inst_sorted = (
+            block_sorted[keep], slot[keep], inst_sorted[keep]
+        )
+        pmax = p_cap
+    if p_cap is not None and pmax <= p_cap:
+        p = p_cap
+    else:
+        p = _pad_pow2(max(pmax, 1))
     idx = np.full((nb, p), -1, np.int32)
     idx[block_sorted, slot] = inst_sorted.astype(np.int32)
     return idx
@@ -110,14 +141,16 @@ class MultiCarry:
 
 
 def bake_sample_multi(
-    drum: DrumBake, carry: MultiCarry, t0: int, nb: int, bl: int, sample_len: int
+    drum: DrumBake, carry: MultiCarry, t0: int, nb: int, bl: int,
+    sample_len: int, caps: dict | None = None, steal: bool = False,
 ) -> tuple[dict[str, np.ndarray], MultiCarry]:
+    caps = caps or {}
     starts = [v[0] for v in carry.voices] + drum.frames.tolist()
     vels = [v[1] for v in carry.voices] + drum.vels.tolist()
     starts_a = np.asarray(starts, np.int64)
     ends_a = starts_a + sample_len
-    idx = block_table(starts_a, ends_a, t0, nb, bl)
-    n_pad = _pad_pow2(max(len(starts), 1))
+    idx = block_table(starts_a, ends_a, t0, nb, bl, caps.get("p"), steal)
+    n_pad = _capped(len(starts), caps.get("n"))
     cols = _pad_cols(
         {
             "starts": starts_a.astype(np.int32),
@@ -151,8 +184,10 @@ class LerpCarry:
 
 
 def bake_sample_lerp(
-    drum: DrumBake, carry: LerpCarry, t0: int, nb: int, bl: int, lerp_len: int
+    drum: DrumBake, carry: LerpCarry, t0: int, nb: int, bl: int,
+    lerp_len: int, caps: dict | None = None,
 ) -> tuple[dict[str, np.ndarray], LerpCarry]:
+    caps = caps or {}
     ef = drum.frames.tolist()
     ev = drum.vels.tolist()
     # segment j covers [p_starts... searchsorted boundary = trigger frames
@@ -170,7 +205,7 @@ def bake_sample_lerp(
     cd_anchor = np.asarray([t0] + ef, np.int64)
     cd_init = np.asarray([carry.countdown] + [lerp_len] * len(ef), np.int32)
 
-    e_pad = _pad_pow2(len(ef) + 1)
+    e_pad = _capped(len(ef) + 1, caps.get("e"))
     cols = _pad_cols(
         {
             "p_starts": p_starts.astype(np.int32),
@@ -182,7 +217,7 @@ def bake_sample_lerp(
         },
         e_pad,
     )
-    bounds_pad = np.full(max(_pad_pow2(max(len(bounds), 1)), 1), INF_FRAME,
+    bounds_pad = np.full(_capped(len(bounds), caps.get("b")), INF_FRAME,
                          np.int64)
     bounds_pad[: len(bounds)] = bounds
     t1 = t0 + nb * bl
@@ -218,8 +253,10 @@ class SineCarry:
 
 
 def bake_debug_sine(
-    simple: SimpleBake, carry: SineCarry, t0: int, nb: int, bl: int
+    simple: SimpleBake, carry: SineCarry, t0: int, nb: int, bl: int,
+    caps: dict | None = None, steal: bool = False,
 ) -> tuple[dict[str, np.ndarray], SineCarry]:
+    caps = caps or {}
     # replay: ON updates the velocity of a matching note (|dn| < 0.001) or
     # appends; OFF removes all matching notes (extensions.rs:428-444).
     # A velocity update closes the span and opens a new one (the sine phase
@@ -255,8 +292,9 @@ def bake_debug_sine(
         if spans else np.zeros(0, np.int64)
     ends = np.asarray([e for *_xx, e in spans], np.int64) \
         if spans else np.zeros(0, np.int64)
-    idx = block_table(starts, np.minimum(ends, INF_FRAME), t0, nb, bl)
-    n_pad = _pad_pow2(max(len(spans), 1))
+    idx = block_table(starts, np.minimum(ends, INF_FRAME), t0, nb, bl,
+                      caps.get("p"), steal)
+    n_pad = _capped(len(spans), caps.get("n"))
     cols = _pad_cols(
         {
             "notes": np.asarray([sp[0] for sp in spans], np.float32),
@@ -308,8 +346,10 @@ def _natural_dead_frame(off_f: int, t0: int, bl: int, release_sec: float,
 
 def bake_notes(
     simple: SimpleBake, carry: NotesCarry, t0: int, nb: int, bl: int,
-    sr: int, release_sec: float,
+    sr: int, release_sec: float, caps: dict | None = None,
+    steal: bool = False,
 ) -> tuple[dict[str, np.ndarray], NotesCarry]:
+    caps = caps or {}
     notes: list[NoteInst] = [
         NoteInst(n.note, n.vel, n.on_f, n.off_f, n.dead_f) for n in carry.notes
     ]
@@ -344,8 +384,8 @@ def bake_notes(
         if notes else np.zeros(0, np.int64)
     ends = np.asarray([n.dead_f for n in notes], np.int64) \
         if notes else np.zeros(0, np.int64)
-    idx = block_table(starts, ends, t0, nb, bl)
-    n_pad = _pad_pow2(max(len(notes), 1))
+    idx = block_table(starts, ends, t0, nb, bl, caps.get("p"), steal)
+    n_pad = _capped(len(notes), caps.get("n"))
     cols = _pad_cols(
         {
             "notes": np.asarray([n.note for n in notes], np.float32),
@@ -387,10 +427,12 @@ class AdsrCarry:
 
 
 def bake_adsr_drum(
-    drum: DrumBake, carry: AdsrCarry, t0: int, nb: int, bl: int
+    drum: DrumBake, carry: AdsrCarry, t0: int, nb: int, bl: int,
+    caps: dict | None = None,
 ) -> tuple[dict[str, np.ndarray], AdsrCarry]:
     """Drum mode (use_off=false, extensions.rs:631-647): each hit shifts
     primary->ghost and retriggers primary. rel fields stay 0."""
+    caps = caps or {}
     ef = drum.frames.tolist()
     ev = drum.vels.tolist()
     bounds = np.asarray(ef, np.int64)
@@ -400,7 +442,7 @@ def bake_adsr_drum(
         [np.asarray([carry.g_anchor], np.float32), p_anchor[:-1]]
     )
     g_vel = np.concatenate([np.asarray([carry.g_vel], np.float32), p_vel[:-1]])
-    e_pad = _pad_pow2(len(ef) + 1)
+    e_pad = _capped(len(ef) + 1, caps.get("e"))
     cols = _pad_cols(
         {
             "p_anchor": p_anchor, "p_vel": p_vel,
@@ -410,7 +452,8 @@ def bake_adsr_drum(
         },
         e_pad,
     )
-    bounds_pad = np.full(_pad_pow2(max(len(bounds), 1)), INF_FRAME, np.int64)
+    bounds_pad = np.full(_capped(len(bounds), caps.get("b")), INF_FRAME,
+                         np.int64)
     bounds_pad[: len(bounds)] = bounds
     if ef:
         last = len(ef)
@@ -435,6 +478,7 @@ def bake_adsr_drum(
 def bake_adsr_off(
     simple: SimpleBake, carry: AdsrCarry, conf: AdsrConf, sr: int,
     t0: int, nb: int, bl: int, target_note: int | None,
+    caps: dict | None = None,
 ) -> tuple[dict[str, np.ndarray], AdsrCarry]:
     """use_off mode (extensions.rs:603-629): a small event state machine —
     ON shifts primary->ghost and retriggers; the first OFF after that puts
@@ -442,6 +486,7 @@ def bake_adsr_off(
     release value is apply_ads(conf, 0) * vel — the reference resets the
     clock before sampling (extensions.rs:613-617), so the capture lands at
     t=0; replicated literally."""
+    caps = caps or {}
     p = [carry.p_anchor, carry.p_vel, carry.p_rel]
     g = [carry.g_anchor, carry.g_vel, carry.g_rel]
     bounds: list[int] = []
@@ -469,7 +514,7 @@ def bake_adsr_off(
         snapshot()
 
     rows_a = np.asarray(rows, np.float32)
-    e_pad = _pad_pow2(len(rows))
+    e_pad = _capped(len(rows), caps.get("e"))
     cols = _pad_cols(
         {
             "p_anchor": rows_a[:, 0], "p_vel": rows_a[:, 1],
@@ -480,7 +525,8 @@ def bake_adsr_off(
         e_pad,
     )
     bounds_a = np.asarray(bounds, np.int64)
-    bounds_pad = np.full(_pad_pow2(max(len(bounds), 1)), INF_FRAME, np.int64)
+    bounds_pad = np.full(_capped(len(bounds), caps.get("b")), INF_FRAME,
+                         np.int64)
     bounds_pad[: len(bounds)] = bounds_a
     new_carry = AdsrCarry(p[0], p[1], p[2], g[0], g[1], g[2])
     return {

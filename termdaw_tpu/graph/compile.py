@@ -83,6 +83,32 @@ def _unpack_bakes(ints_buf, floats_buf, layout):
 # with unchanged topology/static config never recompiles
 _PROGRAM_CACHE: dict = {}
 
+# sticky bake-table caps across refreshes, keyed by (vertex name, kind):
+# a refresh that keeps a vertex reuses its caps, so the rebuilt graph's
+# window layouts — and thus its compiled programs — match the old ones
+_CAP_HWM: dict[tuple, dict[str, int]] = {}
+
+
+def _caps_from_table(kind: str, tbl: dict) -> dict[str, int]:
+    """Observed layout sizes of one baked table (the cap fields)."""
+    if kind in (G.SAMPLEMULTI, G.DEBUGSINE, G.SYNTH, G.SAMPSYN):
+        return {"p": int(tbl["idx"].shape[1]),
+                "n": int(tbl["vels"].shape[0])}
+    if kind == G.SAMPLELERP:
+        return {"e": int(tbl["p_starts"].shape[0]),
+                "b": int(tbl["bounds"].shape[0])}
+    if kind == G.ADSR:
+        return {"e": int(tbl["p_anchor"].shape[0]),
+                "b": int(tbl["bounds"].shape[0])}
+    if kind == "fused":
+        return {"pf": int(tbl["begins"].shape[1])}
+    return {}
+
+
+def _merge_caps(into: dict[str, int], new: dict[str, int]) -> None:
+    for k, v in new.items():
+        into[k] = max(into.get(k, 0), v)
+
 
 @dataclass(frozen=True, eq=True)
 class _VertexStatic:
@@ -144,6 +170,11 @@ class CompiledGraph:
             jax.default_backend() == "tpu"
             and _os.environ.get("TERMDAW_PALLAS", "1") == "1"
         )
+        # read once at build; part of the program-cache spec and pinned
+        # while tracing (ADVICE r2: a mid-process env toggle must not serve
+        # a stale compiled program). The exact lane only applies
+        # single-device (documented in docs/manual.md).
+        self.exact_biquad = filters.exact_biquad_env()
 
         self.statics: dict[int, _VertexStatic] = {}
         for vi in self.order:
@@ -272,6 +303,7 @@ class CompiledGraph:
         # state.rs:50-471)
         self.spec = (
             bl, sr, self.use_pallas, self.pallas_interpret,
+            self.exact_biquad,
             tuple(self.order),
             tuple(tuple(self.in_edges[vi]) for vi in self.order),
             self.output,
@@ -311,16 +343,31 @@ class CompiledGraph:
                 self.num_state[f"{vi}.fx"] = (
                     EFFECTS[st.fx_kind].init_state(sr, dict(st.fx_static))
                 )
-            elif st.kind == G.SAMPLEMULTI:
-                self.carries[vi] = B.MultiCarry()
-            elif st.kind == G.SAMPLELERP:
-                self.carries[vi] = B.LerpCarry()
-            elif st.kind == G.DEBUGSINE:
-                self.carries[vi] = B.SineCarry()
-            elif st.kind in (G.SYNTH, G.SAMPSYN):
-                self.carries[vi] = B.NotesCarry()
-            elif st.kind == G.ADSR:
-                self.carries[vi] = B.AdsrCarry()
+            else:
+                c = self._fresh_carry(st.kind)
+                if c is not None:
+                    self.carries[vi] = c
+
+        # sticky per-vertex bake-table caps (VERDICT r2 item 2): table
+        # layouts pad to these, so jit program layouts do not depend on
+        # which events land in a window. Seeded from _CAP_HWM (cross-
+        # refresh stickiness), raised by seed_caps()'s full-schedule
+        # prebake at render start, and grown on the pow2 ladder if a
+        # window ever overflows. TERMDAW_VOICE_CAP=n instead HARD-caps
+        # per-block polyphony with documented oldest-voice steal
+        # (SURVEY §7 overflow policy).
+        vc = _os.environ.get("TERMDAW_VOICE_CAP", "")
+        self.voice_cap = int(vc) if vc.isdigit() and int(vc) > 0 else None
+        self.bake_caps: dict[str, dict[str, int]] = {}
+        for vi in self.order:
+            st = self.statics[vi]
+            hw = _CAP_HWM.get((graph.names[vi], st.kind))
+            if hw:
+                self.bake_caps[str(vi)] = dict(hw)
+        for c in self.fused_groups:
+            hw = _CAP_HWM.get((graph.names[c], "fused"))
+            if hw:
+                self.bake_caps[f"fused{c}"] = dict(hw)
 
         # padded channel-major copies (Pallas voice kernel) in a stable
         # order so they can ride the call as traced args. Multi-sample
@@ -338,6 +385,56 @@ class CompiledGraph:
         )
 
         self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
+
+    @staticmethod
+    def _fresh_carry(kind: str):
+        if kind == G.SAMPLEMULTI:
+            return B.MultiCarry()
+        if kind == G.SAMPLELERP:
+            return B.LerpCarry()
+        if kind == G.DEBUGSINE:
+            return B.SineCarry()
+        if kind in (G.SYNTH, G.SAMPSYN):
+            return B.NotesCarry()
+        if kind == G.ADSR:
+            return B.AdsrCarry()
+        return None
+
+    def _record_caps(self, key: str, name_key: tuple, kind: str, tbl) -> None:
+        caps = self.bake_caps.setdefault(key, {})
+        _merge_caps(caps, _caps_from_table(kind, tbl))
+        if self.voice_cap is not None and "p" in caps:
+            caps["p"] = min(caps["p"], self.voice_cap)
+        _CAP_HWM[name_key] = dict(caps)
+
+    def seed_caps(self, fb: FlowwBank, total_blocks: int, step: int) -> None:
+        """Pre-bake the full known event schedule over the render window
+        grid and pin every bake-table cap at the observed maxima, so the
+        actual render mints ONE table layout per window size instead of
+        re-specializing the jitted program on each window's event density
+        (VERDICT r2 item 2). Cheap (host numpy, proportional to event
+        count); idempotent; leaves graph/floww state untouched. Call
+        whenever the schedule may have grown (render start, stream
+        append)."""
+        if total_blocks <= 0 or not self.carries:
+            return
+        saved_frame = fb.frame
+        fb.set_time(0)
+        carries = {
+            vi: self._fresh_carry(self.statics[vi].kind)
+            for vi in self.carries
+        }
+        t, left = 0, total_blocks
+        while left > 0:
+            nb = min(left, step)
+            _, nc = self._bake_all(
+                fb, t, nb, fused=self.use_pallas, carries=carries
+            )
+            carries.update(nc)
+            fb.advance_blocks(nb)
+            t += nb * self.bl
+            left -= nb
+        fb.set_time(saved_frame)
 
     # -- normalization controls (reference graph.rs:195-220) ---------------
     def reset_normalize_vertices(self) -> None:
@@ -428,17 +525,21 @@ class CompiledGraph:
         fx_vec, fx_layout = self._pack_fx()
 
         fn = self._get_fn(nb, is_scan, layout, fx_layout)
-        new_state, audio = fn(
-            self.num_state,
-            (self._gains, self._angles, self._wets),
-            ints_buf,
-            floats_buf,
-            fx_vec,
-            tuple(self.samples),
-            tuple(self.samples_padded[p] for p in self.padded_order),
-            tuple(self.wavetables),
-            np.int32(t0),
-        )
+        filters._EXACT_BIQUAD_OVERRIDE = self.exact_biquad
+        try:
+            new_state, audio = fn(
+                self.num_state,
+                (self._gains, self._angles, self._wets),
+                ints_buf,
+                floats_buf,
+                fx_vec,
+                tuple(self.samples),
+                tuple(self.samples_padded[p] for p in self.padded_order),
+                tuple(self.wavetables),
+                np.int32(t0),
+            )
+        finally:
+            filters._EXACT_BIQUAD_OVERRIDE = None
         self.num_state = new_state
         self.carries.update(new_carries)
         self.t = t0 + nb * self.bl
@@ -548,55 +649,75 @@ class CompiledGraph:
         return audio.reshape(nb_total * self.bl, 2)
 
     def _bake_all(
-        self, fb: FlowwBank, t0: int, nb: int, fused: bool = False
+        self, fb: FlowwBank, t0: int, nb: int, fused: bool = False,
+        carries: dict[int, Any] | None = None,
     ):
         """Host-side event baking for a window (shared by both paths).
         With fused=True (the single-device Pallas path), each SampleMulti
         group's per-vertex tables are additionally merged into one COMPACT
         voice table (only voices that actually intersect each block) — the
         kernel's work becomes proportional to live voices, not to
-        vertices x padded slots."""
+        vertices x padded slots. Table shapes pad to the sticky
+        `bake_caps` (raised here on overflow) so layouts — and jit keys —
+        stay constant across windows."""
         bakes: dict[str, dict[str, jnp.ndarray]] = {}
         new_carries: dict[int, Any] = {}
-        for vi, carry in self.carries.items():
+        steal = self.voice_cap is not None
+        names = self.graph.names
+        for vi, carry in (carries or self.carries).items():
             st = self.statics[vi]
             key = str(vi)
+            caps = self.bake_caps.get(key)
+            if steal:
+                caps = dict(caps or {})
+                caps["p"] = min(
+                    caps.get("p", self.voice_cap), self.voice_cap
+                )
             if st.kind == G.SAMPLEMULTI:
                 drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
                 tbl, nc = B.bake_sample_multi(
-                    drum, carry, t0, nb, self.bl, st.sample_len
+                    drum, carry, t0, nb, self.bl, st.sample_len, caps, steal
                 )
             elif st.kind == G.SAMPLELERP:
                 drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
                 tbl, nc = B.bake_sample_lerp(
-                    drum, carry, t0, nb, self.bl, st.lerp_len
+                    drum, carry, t0, nb, self.bl, st.lerp_len, caps
                 )
             elif st.kind == G.DEBUGSINE:
                 simple = fb.bake_simple(st.floww_index, nb)
-                tbl, nc = B.bake_debug_sine(simple, carry, t0, nb, self.bl)
+                tbl, nc = B.bake_debug_sine(
+                    simple, carry, t0, nb, self.bl, caps, steal
+                )
             elif st.kind in (G.SYNTH, G.SAMPSYN):
                 simple = fb.bake_simple(st.floww_index, nb)
                 tbl, nc = B.bake_notes(
-                    simple, carry, t0, nb, self.bl, self.sr, st.release_sec
+                    simple, carry, t0, nb, self.bl, self.sr, st.release_sec,
+                    caps, steal,
                 )
             elif st.kind == G.ADSR:
                 if st.use_off:
                     simple = fb.bake_simple(st.floww_index, nb)
                     tbl, nc = B.bake_adsr_off(
                         simple, carry, st.confs[0], self.sr, t0, nb, self.bl,
-                        st.note,
+                        st.note, caps,
                     )
                 else:
                     drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
-                    tbl, nc = B.bake_adsr_drum(drum, carry, t0, nb, self.bl)
+                    tbl, nc = B.bake_adsr_drum(
+                        drum, carry, t0, nb, self.bl, caps
+                    )
             else:  # pragma: no cover
                 continue
             bakes[key] = tbl  # numpy; upload happens packed (see _pack_bakes)
             new_carries[vi] = nc
+            self._record_caps(key, (names[vi], st.kind), st.kind, tbl)
         if fused:
             for consumer, members in self.fused_groups.items():
-                bakes[f"fused{consumer}"] = self._merge_group(
-                    bakes, consumer, members, t0, nb
+                tbl = self._merge_group(bakes, consumer, members, t0, nb)
+                bakes[f"fused{consumer}"] = tbl
+                self._record_caps(
+                    f"fused{consumer}", (names[consumer], "fused"), "fused",
+                    tbl,
                 )
         return bakes, new_carries
 
@@ -633,11 +754,13 @@ class CompiledGraph:
             )
             vs.append(np.asarray(tbl["vels"], np.float32)[idx[kk, pp]])
             ms.append(np.full(len(kk), mi, np.int32))
+        caps = self.bake_caps.get(f"fused{consumer}") or {}
         if not ks:
+            w = max(caps.get("pf", 1), 1)
             return {
-                "begins": np.zeros((nb, 1), np.int32),
-                "vel": np.zeros((nb, 1), np.float32),
-                "member": np.zeros((nb, 1), np.int32),
+                "begins": np.zeros((nb, w), np.int32),
+                "vel": np.zeros((nb, w), np.float32),
+                "member": np.zeros((nb, w), np.int32),
             }
         k = np.concatenate(ks)
         order = np.argsort(k, kind="stable")
@@ -646,7 +769,7 @@ class CompiledGraph:
         v = np.concatenate(vs)[order]
         mid = np.concatenate(ms)[order]
         counts = np.bincount(k, minlength=nb)
-        pf = B._pad_pow2(int(counts.max()))
+        pf = B._capped(int(counts.max()), caps.get("pf"))
         pos = np.arange(len(k)) - np.repeat(
             np.cumsum(counts) - counts, counts
         )

@@ -395,10 +395,24 @@ def biquad_apply_sequential(
     return ys, jnp.stack([x1, x2, y1, y2], axis=0)
 
 
-def _exact_biquad() -> bool:
+# Set by CompiledGraph for the duration of a render call: the compiled
+# graph reads TERMDAW_EXACT_BIQUAD once at build and folds it into its
+# program-cache spec, then pins this override while tracing so a mid-process
+# env toggle can neither serve a stale compiled program nor trace
+# inconsistently with the cache key.
+_EXACT_BIQUAD_OVERRIDE: bool | None = None
+
+
+def exact_biquad_env() -> bool:
     import os
 
     return os.environ.get("TERMDAW_EXACT_BIQUAD", "0") == "1"
+
+
+def _exact_biquad() -> bool:
+    if _EXACT_BIQUAD_OVERRIDE is not None:
+        return _EXACT_BIQUAD_OVERRIDE
+    return exact_biquad_env()
 
 
 def biquad_apply(

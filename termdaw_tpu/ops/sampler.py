@@ -79,14 +79,15 @@ def sample_lerp(
     # realizes the position clamp at both ends; slice offset
     # T + f0 - start lands every in-window position correctly for any
     # start (clamped offsets only occur in masked-out segments).
+    C = sample.shape[1]
     ext = jnp.concatenate(
         [
-            jnp.broadcast_to(sample[0:1], (T, 2)),
+            jnp.broadcast_to(sample[0:1], (T, C)),
             sample,
-            jnp.broadcast_to(sample[L - 1 : L], (T, 2)),
+            jnp.broadcast_to(sample[L - 1 : L], (T, C)),
         ],
         axis=0,
-    )  # [2T + L, 2]
+    )  # [2T + L, C]
     bounds = bake["bounds"]  # [B] int32, INF_FRAME-padded
     B = bounds.shape[0]
     n_bounds = bake["n_bounds"]  # real segment boundaries
@@ -96,7 +97,7 @@ def sample_lerp(
 
     def voice(start_s):
         off = jnp.clip(T + f0 - start_s, 0, T + L)
-        return jax.lax.dynamic_slice(ext, (off, jnp.int32(0)), (T, 2))
+        return jax.lax.dynamic_slice(ext, (off, jnp.int32(0)), (T, C))
 
     def body(s, acc):
         lo = jnp.where(
@@ -118,5 +119,5 @@ def sample_lerp(
         return acc + jnp.where(mask, val, 0.0)
 
     return jax.lax.fori_loop(
-        0, S, body, jnp.zeros((T, 2), jnp.float32)
+        0, S, body, jnp.zeros((T, C), jnp.float32)
     )

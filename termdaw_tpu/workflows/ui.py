@@ -72,8 +72,16 @@ def run_ui_workflow(
             while True:
                 try:
                     line = pal.read_command()
-                except Exception:
-                    break  # tty went away; fall through to EOF
+                except Exception as e:  # tty went away / palette bug
+                    import sys, traceback
+
+                    print(
+                        f"palette reader error ({type(e).__name__}: {e}); "
+                        "falling back to EOF quit",
+                        file=sys.stderr,
+                    )
+                    traceback.print_exc(file=sys.stderr)
+                    break
                 if line is None:
                     break
                 cmd_queue.put(line)

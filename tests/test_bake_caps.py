@@ -1,0 +1,188 @@
+"""Bake-table cap stability: jit program layouts must not depend on which
+events land in a window (VERDICT r2 item 2).
+
+The reference has no compile step, so nothing to cite; the TPU engine's
+contract is that a graph's compiled window programs are a function of the
+graph spec + window size only. These tests exercise the host-side layout
+machinery directly (pure numpy — no device programs are built), plus the
+oldest-voice-steal overflow policy (SURVEY.md §7).
+"""
+
+import numpy as np
+import pytest
+
+from termdaw_tpu.graph import bake as B
+from termdaw_tpu.graph.compile import _pack_bakes
+from termdaw_tpu.banks.flowwbank import FlowwBank
+from termdaw_tpu.engine.state import render_chunk_blocks
+
+
+class TestBlockTableCaps:
+    def test_cap_pins_width(self):
+        starts = np.array([0, 10, 20], np.int64)
+        ends = starts + 5
+        idx = B.block_table(starts, ends, 0, 4, 16, p_cap=8)
+        assert idx.shape == (4, 8)
+
+    def test_cap_pins_width_when_empty(self):
+        idx = B.block_table(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            0, 4, 16, p_cap=8)
+        assert idx.shape == (4, 8)
+        idx2 = B.block_table(np.array([9999], np.int64),
+                             np.array([10005], np.int64), 0, 4, 16, p_cap=8)
+        assert idx2.shape == (4, 8)
+
+    def test_overflow_grows_without_steal(self):
+        n = 5
+        starts = np.zeros(n, np.int64)
+        ends = np.full(n, 64, np.int64)
+        idx = B.block_table(starts, ends, 0, 2, 32, p_cap=2)
+        assert idx.shape[1] == 8  # pow2(5)
+        assert set(idx[0][idx[0] >= 0].tolist()) == set(range(n))
+
+    def test_overflow_steals_oldest(self):
+        # 5 concurrent voices, cap 2, steal: keep the LAST 2 per block
+        n = 5
+        starts = np.arange(n, dtype=np.int64)  # staggered trigger order
+        ends = starts + 64
+        idx = B.block_table(starts, ends, 0, 1, 32, p_cap=2, steal=True)
+        assert idx.shape == (1, 2)
+        kept = set(idx[0].tolist())
+        assert kept == {3, 4}  # newest voices survive; oldest stolen
+
+
+class TestCapped:
+    def test_capped_floor_and_growth(self):
+        assert B._capped(3, None) == 4
+        assert B._capped(3, 16) == 16
+        assert B._capped(33, 16) == 64
+        assert B._capped(0, None) == 1
+
+
+def _make_state(tmp_path, n_tracks=6, length_sec=4.0, sr=8000, bl=256,
+                seed=0):
+    """Small stream-driven project with deliberately bursty event density
+    (the shape that minted per-window program variants in round 2)."""
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+    from termdaw_tpu.utils.fixtures import _drum
+    from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+
+    d = tmp_path / "proj"
+    d.mkdir()
+    _drum(d / "hit.wav", sr, 0.05, 300.0, 30.0)
+    lines = [
+        f"set_length({length_sec});",
+        f"set_render_samplerate({sr});",
+        "set_render_bitdepth(16);",
+        f'set_output_file("{d}/outp.wav");',
+        f'load_sample("hit", "{d}/hit.wav", "");',
+        'add_normalize("sum", 1.0, 0.0);',
+    ]
+    for i in range(n_tracks):
+        lines += [
+            f'declare_stream("s{i}");',
+            f'add_sample_multi("t{i}", 1.0, 0.0, "hit", "s{i}", -1);',
+            f'connect("t{i}", "sum");',
+        ]
+    lines.append('set_output("sum");')
+    (d / "project.lua").write_text("\n".join(lines))
+    (d / "project.toml").write_text(
+        f'[settings]\nmain = "project.lua"\nbuffer_length = {bl}\n'
+        f"project_samplerate = {sr}\n"
+    )
+    st = State(Config.read(d / "project.toml"), str(d))
+    st.refresh()
+    assert st.loaded
+    rng = np.random.default_rng(seed)
+    blob = b""
+    for i in range(n_tracks):
+        # bursty: all of track i's events land in one random half-second
+        t0 = rng.uniform(0.0, length_sec - 0.6)
+        times = np.sort(rng.uniform(t0, t0 + 0.5, size=12)).astype(np.float32)
+        ev = np.stack(
+            [np.zeros(12, np.float32), times, np.full(12, 36.0, np.float32),
+             rng.uniform(0.4, 1.0, 12).astype(np.float32)], axis=1,
+        )
+        blob += encode_events(f"s{i}", ev)
+    st.fb.append_streams(PacketDecoder().feed(blob))
+    return st
+
+
+class TestStableLayouts:
+    def test_one_layout_across_all_windows(self, tmp_path):
+        """After seed_caps, every render window of a bursty multi-track
+        project packs to the SAME layout -> one jitted program."""
+        st = _make_state(tmp_path)
+        cg = st.compiled
+        st.fb.set_time(0)
+        cg.set_time(0)
+        step = render_chunk_blocks(st.cs)
+        cg.seed_caps(st.fb, st.cs, step)
+        layouts = set()
+        left, t = st.cs, 0
+        while left > 0:
+            nb = min(left, step)
+            bakes, nc = cg._bake_all(st.fb, t, nb, fused=cg.use_pallas)
+            _, _, layout = _pack_bakes(bakes)
+            layouts.add((nb, layout))
+            cg.carries.update(nc)
+            st.fb.advance_blocks(nb)
+            t += nb * cg.bl
+            left -= nb
+        n_window_sizes = len({nb for nb, _ in layouts})
+        assert len(layouts) == n_window_sizes  # one layout per window size
+
+    def test_program_cache_fixed_over_randomized_schedules(self, tmp_path):
+        """Many randomized schedules on the same graph shape -> the packed
+        layout set stays fixed once caps are seeded (jit keys = layouts,
+        so the program cache cannot grow)."""
+        layouts = set()
+        for seed in range(4):
+            (tmp_path / f"s{seed}").mkdir()
+            st = _make_state(tmp_path / f"s{seed}", seed=seed)
+            cg = st.compiled
+            st.fb.set_time(0)
+            step = render_chunk_blocks(st.cs)
+            cg.seed_caps(st.fb, st.cs, step)
+            left, t = st.cs, 0
+            while left > 0:
+                nb = min(left, step)
+                bakes, nc = cg._bake_all(st.fb, t, nb, fused=cg.use_pallas)
+                _, _, layout = _pack_bakes(bakes)
+                layouts.add((nb, layout))
+                cg.carries.update(nc)
+                st.fb.advance_blocks(nb)
+                t += nb * cg.bl
+                left -= nb
+        # all randomized schedules share the cap-pinned layouts; caps are
+        # sticky across the State rebuilds via the module high-water map
+        n_window_sizes = 1
+        assert len(layouts) <= n_window_sizes + 1  # allow one growth step
+
+    def test_voice_cap_steals_and_pins(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("TERMDAW_VOICE_CAP", "2")
+        st = _make_state(tmp_path)
+        cg = st.compiled
+        assert cg.voice_cap == 2
+        st.fb.set_time(0)
+        step = render_chunk_blocks(st.cs)
+        cg.seed_caps(st.fb, st.cs, step)
+        bakes, _ = cg._bake_all(st.fb, 0, min(st.cs, step))
+        for key, tbl in bakes.items():
+            if "idx" in tbl:
+                assert tbl["idx"].shape[1] <= 2
+
+
+class TestSeedCapsPreservesState:
+    def test_fb_cursor_and_carries_untouched(self, tmp_path):
+        st = _make_state(tmp_path)
+        cg = st.compiled
+        st.fb.set_time(3 * 256)
+        frame_before = st.fb.frame
+        starts_before = list(st.fb.start_indices)
+        carries_before = {k: repr(v) for k, v in cg.carries.items()}
+        cg.seed_caps(st.fb, st.cs, render_chunk_blocks(st.cs))
+        assert st.fb.frame == frame_before
+        assert st.fb.start_indices == starts_before
+        assert {k: repr(v) for k, v in cg.carries.items()} == carries_before
