@@ -91,8 +91,13 @@ class FlowwBank:
         self.start_indices: list[int] = []
         self.names: dict[str, int] = {}
         self.stream_list: list[int] = []
-        # per-floww (events_array_identity, frames) pairs; see _event_frames
+        # per-floww (events_array_identity, frames, is_sorted) tuples; see
+        # _event_frames
         self._frames_cache: list[tuple | None] = []
+        # bumped whenever the event CONTENT may change (reset/declare/
+        # append); CompiledGraph.seed_caps uses it to skip redundant
+        # full-schedule prebakes
+        self.version = 0
 
     def _event_frames(self, i: int) -> np.ndarray:
         """Cached event_frames per floww — the uncached version dominated
@@ -105,9 +110,15 @@ class FlowwBank:
         c = self._frames_cache[i]
         ev = self.flowws[i]
         if c is None or c[0] is not ev:
-            c = (ev, event_frames(ev, self.sr))
+            f = event_frames(ev, self.sr)
+            is_sorted = bool(np.all(f[1:] >= f[:-1])) if len(f) > 1 else True
+            c = (ev, f, is_sorted)
             self._frames_cache[i] = c
         return c[1]
+
+    def _frames_sorted(self, i: int) -> bool:
+        self._event_frames(i)
+        return self._frames_cache[i][2]
 
     # -- registration (reference floww.rs:23-64) ---------------------------
     def reset(self) -> None:
@@ -117,12 +128,14 @@ class FlowwBank:
         self.names.clear()
         self.stream_list.clear()
         self._frames_cache.clear()
+        self.version += 1
 
     def declare_floww(self, name: str, events: np.ndarray) -> int:
         events = np.asarray(events, dtype=np.float32).reshape(-1, 4)
         self.flowws.append(events)
         self.start_indices.append(0)
         self._frames_cache.append(None)
+        self.version += 1
         index = len(self.flowws) - 1
         self.names[name] = index
         return index
@@ -157,6 +170,7 @@ class FlowwBank:
                 ev = pkt.events if pkt.events is not None else np.zeros((0, 4), np.float32)
                 self.flowws[idx] = np.concatenate([self.flowws[idx], ev], axis=0)
                 self._frames_cache[idx] = None
+                self.version += 1
         return msgs
 
     def trim_streams(self) -> None:
@@ -167,6 +181,7 @@ class FlowwBank:
                 self.flowws[index] = self.flowws[index][s:]
                 self.start_indices[index] = 0
                 self._frames_cache[index] = None
+                self.version += 1
 
     def get_index(self, name: str) -> int | None:
         return self.names.get(name)
@@ -176,6 +191,13 @@ class FlowwBank:
         for i in range(len(self.flowws)):
             skip = self.start_indices[i] if do_skip else 0
             frames = self._event_frames(i)
+            if self._frames_cache[i][2]:  # sorted: binary search
+                k = int(frames.searchsorted(t_frame, "left"))
+                if k < len(frames) and k >= skip:
+                    self.start_indices[i] = k
+                elif k < len(frames):
+                    self.start_indices[i] = skip
+                continue
             hit = np.nonzero(frames[skip:] >= t_frame)[0]
             if hit.size:
                 self.start_indices[i] = skip + int(hit[0])
@@ -208,9 +230,21 @@ class FlowwBank:
         for i in range(len(self.flowws)):
             frames = self._event_frames(i)
             s0 = self.start_indices[i]
-            tail = frames[s0:]
-            if tail.size == 0:
+            nev = len(frames)
+            if s0 >= nev:
                 continue
+            if self._frames_cache[i][2]:  # sorted: binary search
+                k = int(frames.searchsorted(t_final, "left"))
+                if k < nev:
+                    self.start_indices[i] = max(s0, k)
+                    continue
+                kb = (int(frames[nev - 1]) - self.frame) // self.bl
+                if kb >= 1:
+                    tk = self.frame + kb * self.bl
+                    k2 = int(frames.searchsorted(tk, "left"))
+                    self.start_indices[i] = max(s0, k2)
+                continue
+            tail = frames[s0:]
             hit = np.nonzero(tail >= t_final)[0]
             if hit.size:
                 self.start_indices[i] = s0 + int(hit[0])
@@ -240,6 +274,31 @@ class FlowwBank:
             return DrumBake.empty()
         events = self.flowws[index]
         frames = self._event_frames(index)
+        if self._frames_sorted(index):
+            # vectorized equivalent for time-sorted flowws (MIDI files and
+            # streams are; the per-block Python replay below dominated
+            # multi-track host time at 256 tracks x 375 blocks/window).
+            # With sorted frames the per-block qmin walk reduces to: take
+            # in-window events from the cursor on, keep ONs, and emit the
+            # FIRST ON of each distinct frame (an ON sets qmin=f+1, making
+            # later same-frame events stale; an OFF only advances qmin to
+            # its own frame, so it never blocks a same-frame ON).
+            s = self.start_indices[index]
+            t1 = self.frame + n_blocks * self.bl
+            lo = max(s, int(np.searchsorted(frames, self.frame, "left")))
+            hi = int(np.searchsorted(frames, t1, "left"))
+            f = frames[lo:hi]
+            v = events[lo:hi, 3]
+            on = v > 0.001
+            f = f[on]
+            keep = np.ones(len(f), bool)
+            if len(f) > 1:
+                keep[1:] = f[1:] != f[:-1]
+            return DrumBake(
+                f[keep],
+                events[lo:hi, 2][on][keep].astype(np.float32),
+                v[on][keep].astype(np.float32),
+            )
         vels = events[:, 3] if len(events) else np.zeros((0,), np.float32)
         notes = events[:, 2] if len(events) else np.zeros((0,), np.float32)
         n_ev = len(frames)
@@ -298,6 +357,22 @@ class FlowwBank:
         frames = self._event_frames(index)
         n_ev = len(frames)
         s = self.start_indices[index]
+        if self._frames_sorted(index) and not (s < n_ev and frames[s] < self.frame):
+            # vectorized equivalent for time-sorted flowws with no stale
+            # leftovers at the cursor (the common case; a stale event
+            # blocks the rest of its block per floww.rs:124-141, which the
+            # Python replay below handles). Sorted + fresh cursor means
+            # every in-window event from the cursor on is emitted in order.
+            t1 = self.frame + n_blocks * self.bl
+            lo = s
+            hi = int(np.searchsorted(frames, t1, "left"))
+            v = events[lo:hi, 3].astype(np.float32)
+            return SimpleBake(
+                frames[lo:hi],
+                v > 0.001,
+                events[lo:hi, 2].astype(np.float32),
+                v,
+            )
         out_f: list[int] = []
         out_on: list[bool] = []
         out_n: list[float] = []

@@ -385,6 +385,8 @@ class CompiledGraph:
         )
 
         self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
+        # per-fused-group pooled event arrays, keyed by FlowwBank version
+        self._pool_cache: dict[int, tuple] = {}
 
     @staticmethod
     def _fresh_carry(kind: str):
@@ -407,7 +409,10 @@ class CompiledGraph:
             caps["p"] = min(caps["p"], self.voice_cap)
         _CAP_HWM[name_key] = dict(caps)
 
-    def seed_caps(self, fb: FlowwBank, total_blocks: int, step: int) -> None:
+    def seed_caps(
+        self, fb: FlowwBank, total_blocks: int, step: int,
+        fused: bool | None = None,
+    ) -> None:
         """Pre-bake the full known event schedule over the render window
         grid and pin every bake-table cap at the observed maxima, so the
         actual render mints ONE table layout per window size instead of
@@ -418,6 +423,12 @@ class CompiledGraph:
         append)."""
         if total_blocks <= 0 or not self.carries:
             return
+        fused = self.use_pallas if fused is None else fused
+        sig = (id(fb), fb.version, total_blocks, step, fused)
+        if getattr(self, "_seeded_sigs", None) is None:
+            self._seeded_sigs = set()
+        if sig in self._seeded_sigs:
+            return  # schedule unchanged since the last seed — nothing new
         saved_frame = fb.frame
         fb.set_time(0)
         carries = {
@@ -427,14 +438,13 @@ class CompiledGraph:
         t, left = 0, total_blocks
         while left > 0:
             nb = min(left, step)
-            _, nc = self._bake_all(
-                fb, t, nb, fused=self.use_pallas, carries=carries
-            )
+            _, nc = self._bake_all(fb, t, nb, fused=fused, carries=carries)
             carries.update(nc)
             fb.advance_blocks(nb)
             t += nb * self.bl
             left -= nb
         fb.set_time(saved_frame)
+        self._seeded_sigs.add(sig)
 
     # -- normalization controls (reference graph.rs:195-220) ---------------
     def reset_normalize_vertices(self) -> None:
@@ -664,6 +674,7 @@ class CompiledGraph:
         new_carries: dict[int, Any] = {}
         steal = self.voice_cap is not None
         names = self.graph.names
+        t1 = t0 + nb * self.bl
         for vi, carry in (carries or self.carries).items():
             st = self.statics[vi]
             key = str(vi)
@@ -673,6 +684,8 @@ class CompiledGraph:
                 caps["p"] = min(
                     caps.get("p", self.voice_cap), self.voice_cap
                 )
+            if fused and vi in self._fused_members:
+                continue  # baked per-GROUP below (pooled light path)
             if st.kind == G.SAMPLEMULTI:
                 drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
                 tbl, nc = B.bake_sample_multi(
@@ -713,7 +726,11 @@ class CompiledGraph:
             self._record_caps(key, (names[vi], st.kind), st.kind, tbl)
         if fused:
             for consumer, members in self.fused_groups.items():
-                tbl = self._merge_group(bakes, consumer, members, t0, nb)
+                srcs, group_carries = self._bake_fused_group(
+                    fb, consumer, members, t0, t1, carries or self.carries
+                )
+                new_carries.update(group_carries)
+                tbl = self._merge_group(srcs, consumer, members, t0, nb)
                 bakes[f"fused{consumer}"] = tbl
                 self._record_caps(
                     f"fused{consumer}", (names[consumer], "fused"), "fused",
@@ -721,64 +738,185 @@ class CompiledGraph:
                 )
         return bakes, new_carries
 
-    def _merge_group(self, bakes, consumer: int, members, t0: int, nb: int):
+    def _group_pool(self, fb: FlowwBank, consumer: int, members):
+        """Frame-sorted pooled event arrays (frames, vels, member-id) for a
+        fused group, cached per FlowwBank content version.
+
+        Valid only when every member floww is time-sorted: then the drum
+        cursor semantics reduce to "events with frame in the window"
+        (banks/flowwbank.bake_drum's sorted fast path), so one pooled
+        searchsorted replaces per-member replays — the per-member Python
+        loop dominated 256-track host bake time. Per-member quirks bake
+        into the pool: ON filtering, first-ON-per-frame dedupe (BEFORE the
+        note filter — a same-frame other-note hit swallows the slot,
+        reference floww.rs:99-121 + extensions.rs:353-356), then the
+        consumer's note filter."""
+        cached = self._pool_cache.get(consumer)
+        if cached is not None and cached[0] == fb.version:
+            return cached[1]
+        fl, vl, ml = [], [], []
+        for mi, m in enumerate(members):
+            st = self.statics[m]
+            i = st.floww_index
+            if i >= len(fb.flowws):
+                continue
+            if not fb._frames_sorted(i):
+                self._pool_cache[consumer] = (fb.version, None)
+                return None
+            ev = fb.flowws[i]
+            f = fb._event_frames(i)
+            on = ev[:, 3] > 0.001
+            f, n, v = f[on], ev[on, 2], ev[on, 3]
+            keep = np.ones(len(f), bool)
+            if len(f) > 1:
+                keep[1:] = f[1:] != f[:-1]
+            f, n, v = f[keep], n[keep], v[keep]
+            if st.note is not None:
+                nf = np.abs(n - np.float32(st.note)) < 0.01
+                f, v = f[nf], v[nf]
+            fl.append(f)
+            vl.append(v.astype(np.float32))
+            ml.append(np.full(len(f), mi, np.int32))
+        if fl:
+            f = np.concatenate(fl)
+            order = np.argsort(f, kind="stable")
+            pool = (
+                f[order],
+                np.concatenate(vl)[order],
+                np.concatenate(ml)[order],
+            )
+        else:
+            pool = (
+                np.zeros(0, np.int64), np.zeros(0, np.float32),
+                np.zeros(0, np.int32),
+            )
+        self._pool_cache[consumer] = (fb.version, pool)
+        return pool
+
+    def _bake_fused_group(
+        self, fb: FlowwBank, consumer: int, members, t0: int, t1: int,
+        carries,
+    ):
+        """Window voice arrays (starts, vels, member-id) + new carries for
+        one fused group, in member-major order (each member: carry voices
+        then window events chronologically — the same slot order as the
+        per-vertex formulation). The fused kernel consumes only the MERGED
+        table, so no per-vertex block_table/upload happens at all."""
+        pool = self._group_pool(fb, consumer, members)
+        if pool is not None:
+            # drum windows anchor at the floww cursor (the engine keeps it
+            # aligned with graph time t0)
+            pf, pv, pm = pool
+            lo = int(np.searchsorted(pf, fb.frame, "left"))
+            hi = int(np.searchsorted(pf, fb.frame + (t1 - t0), "left"))
+            wf, wv, wm = pf[lo:hi], pv[lo:hi], pm[lo:hi]
+            order = np.argsort(wm, kind="stable")  # member-major
+            wf, wv, wm = wf[order], wv[order], wm[order]
+        else:  # unsorted floww(s): per-member replay fallback
+            fl, vl, ml = [], [], []
+            for mi, m in enumerate(members):
+                st = self.statics[m]
+                drum = fb.bake_drum(st.floww_index, nb_blocks := (
+                    (t1 - t0) // self.bl
+                )).filter_note(st.note)
+                fl.append(drum.frames)
+                vl.append(drum.vels.astype(np.float32))
+                ml.append(np.full(len(drum.frames), mi, np.int32))
+            wf = np.concatenate(fl) if fl else np.zeros(0, np.int64)
+            wv = np.concatenate(vl) if vl else np.zeros(0, np.float32)
+            wm = np.concatenate(ml) if ml else np.zeros(0, np.int32)
+        counts_ev = np.bincount(wm, minlength=len(members))
+        splits_f = np.split(wf, np.cumsum(counts_ev)[:-1])
+        splits_v = np.split(wv, np.cumsum(counts_ev)[:-1])
+        parts_f: list[np.ndarray] = []
+        parts_v: list[np.ndarray] = []
+        parts_m: list[np.ndarray] = []
+        new_carries: dict[int, Any] = {}
+        for mi, m in enumerate(members):
+            cvs = carries[m].voices
+            if cvs:
+                cf = np.asarray([x[0] for x in cvs], np.int64)
+                cv = np.asarray([x[1] for x in cvs], np.float32)
+                mf = np.concatenate([cf, splits_f[mi]])
+                mv = np.concatenate([cv, splits_v[mi]])
+            else:
+                mf, mv = splits_f[mi], splits_v[mi]
+            parts_f.append(mf)
+            parts_v.append(mv)
+            parts_m.append(np.full(len(mf), mi, np.int32))
+            alive = mf + self.statics[m].sample_len > t1
+            if alive.any():
+                new_carries[m] = B.MultiCarry([
+                    (int(s), float(v))
+                    for s, v in zip(mf[alive], mv[alive])
+                ])
+            else:
+                new_carries[m] = B.MultiCarry()
+        srcs = {
+            m: (parts_f[mi], parts_v[mi])
+            for mi, m in enumerate(members)
+        }
+        return srcs, new_carries
+
+    def _merge_group(self, srcs, consumer: int, members, t0: int, nb: int):
         """Compact merged voice table for one fused group (host numpy).
 
-        Emits (begins [nb,Pf] in concat-buffer coords, vel [nb,Pf],
-        member [nb,Pf] index into `members`), keeping only voices whose
-        sample span intersects the block; Pf is the padded-pow2 max live
-        count. Exact: dropped slots read zeros / have vel 0."""
+        Consumes the raw per-member (starts, vels) voice arrays collected
+        by _bake_all's light fused path and emits (begins [nb,Pf] in
+        concat-buffer coords, vel [nb,Pf], member [nb,Pf] index into
+        `members`), keeping only voices whose sample span intersects the
+        block; Pf is the cap-pinned max live count. Exact: dropped slots
+        read zeros / have vel 0. One vectorized [nb, V] activity pass over
+        ALL members' voices (the per-member loop dominated 256-track host
+        bake time). Slot order per block = member order, then trigger
+        order within a member — matching the per-member formulation
+        bit-exactly."""
         bl = self.bl
         _, bases = self._fused_layout[consumer]
-        block_starts = t0 + np.arange(nb, dtype=np.int64) * bl
-        ks, bs, vs, ms = [], [], [], []
-        for mi, m in enumerate(members):
-            tbl = bakes[str(m)]
-            idx = np.asarray(tbl["idx"])
-            mask = idx >= 0
-            if not mask.any():
-                continue
-            st_m = self.statics[m]
-            starts = np.asarray(tbl["starts"], np.int64)[
-                np.clip(idx, 0, None)
-            ]
-            off = block_starts[:, None] - starts  # [nb, P]
-            act = mask & (off + bl > 0) & (off < st_m.sample_len)
-            kk, pp = np.nonzero(act)
-            if not len(kk):
-                continue
-            ks.append(kk)
-            bs.append(
-                np.clip(off[kk, pp] + bl, 0, st_m.sample_len + bl)
-                + bases[st_m.sample_pos]
-            )
-            vs.append(np.asarray(tbl["vels"], np.float32)[idx[kk, pp]])
-            ms.append(np.full(len(kk), mi, np.int32))
         caps = self.bake_caps.get(f"fused{consumer}") or {}
-        if not ks:
+        counts_per_m = [len(srcs[m][0]) for m in members]
+        V = int(np.sum(counts_per_m))
+        if V == 0:
             w = max(caps.get("pf", 1), 1)
             return {
                 "begins": np.zeros((nb, w), np.int32),
                 "vel": np.zeros((nb, w), np.float32),
                 "member": np.zeros((nb, w), np.int32),
             }
-        k = np.concatenate(ks)
-        order = np.argsort(k, kind="stable")
-        k = k[order]
-        b = np.concatenate(bs)[order]
-        v = np.concatenate(vs)[order]
-        mid = np.concatenate(ms)[order]
-        counts = np.bincount(k, minlength=nb)
+        starts = np.concatenate([srcs[m][0] for m in members])
+        vels = np.concatenate([srcs[m][1] for m in members])
+        mid = np.repeat(
+            np.arange(len(members), dtype=np.int32), counts_per_m
+        )
+        slen = np.asarray(
+            [self.statics[m].sample_len for m in members], np.int64
+        )[mid]
+        base = np.asarray(
+            [bases[self.statics[m].sample_pos] for m in members], np.int64
+        )[mid]
+        block_starts = t0 + np.arange(nb, dtype=np.int64) * bl
+        off = block_starts[:, None] - starts[None, :]  # [nb, V]
+        act = (off + bl > 0) & (off < slen[None, :])
+        kk, pp = np.nonzero(act)  # row-major: kk ascending, pp in voice order
+        if not len(kk):
+            w = max(caps.get("pf", 1), 1)
+            return {
+                "begins": np.zeros((nb, w), np.int32),
+                "vel": np.zeros((nb, w), np.float32),
+                "member": np.zeros((nb, w), np.int32),
+            }
+        b = np.clip(off[kk, pp] + bl, 0, slen[pp] + bl) + base[pp]
+        counts = np.bincount(kk, minlength=nb)
         pf = B._capped(int(counts.max()), caps.get("pf"))
-        pos = np.arange(len(k)) - np.repeat(
+        pos = np.arange(len(kk)) - np.repeat(
             np.cumsum(counts) - counts, counts
         )
         begins = np.zeros((nb, pf), np.int32)
         vel = np.zeros((nb, pf), np.float32)
         member = np.zeros((nb, pf), np.int32)
-        begins[k, pos] = b
-        vel[k, pos] = v
-        member[k, pos] = mid
+        begins[kk, pos] = b
+        vel[kk, pos] = vels[pp]
+        member[kk, pos] = mid[pp]
         return {"begins": begins, "vel": vel, "member": member}
 
     # -- program construction -------------------------------------------------

@@ -167,3 +167,79 @@ class TestPackets:
         assert got[0].kind == KIND_EVENTS and got[0].name == "drums"
         np.testing.assert_allclose(got[0].events, evs)
         assert got[1].kind == KIND_TEXT and got[1].text == "msg"
+
+
+class TestSortedBakeFastPath:
+    """The vectorized sorted-floww fast paths in bake_drum/bake_simple must
+    be frame-for-frame identical to the per-block Python replay of the
+    reference cursor semantics (floww.rs:93-141)."""
+
+    def _banks(self, events, sr=100, bl=10):
+        a = FlowwBank(sr, bl)
+        a.declare_floww("f", np.asarray(events, np.float32))
+        b = FlowwBank(sr, bl)
+        b.declare_floww("f", np.asarray(events, np.float32))
+        # force the loop path on b regardless of sortedness
+        b._frames_sorted = lambda i: False
+        return a, b
+
+    def _assert_drum_equal(self, x, y):
+        np.testing.assert_array_equal(x.frames, y.frames)
+        np.testing.assert_array_equal(x.notes, y.notes)
+        np.testing.assert_array_equal(x.vels, y.vels)
+
+    def _assert_simple_equal(self, x, y):
+        np.testing.assert_array_equal(x.frames, y.frames)
+        np.testing.assert_array_equal(x.ons, y.ons)
+        np.testing.assert_array_equal(x.notes, y.notes)
+        np.testing.assert_array_equal(x.vels, y.vels)
+
+    def test_randomized_schedules_match(self, rng):
+        for trial in range(30):
+            n = int(rng.integers(0, 40))
+            times = np.sort(rng.uniform(0.0, 2.0, n)).astype(np.float32)
+            # inject duplicate frames and on/off mixtures
+            if n > 3:
+                times[1] = times[0]
+                times[3] = times[2]
+            notes = rng.integers(50, 70, n).astype(np.float32)
+            vels = rng.uniform(0.0, 1.0, n).astype(np.float32)
+            vels[rng.uniform(size=n) < 0.3] = 0.0  # offs
+            events = np.stack(
+                [np.zeros(n, np.float32), times, notes, vels], axis=1
+            )
+            fast, loop = self._banks(events)
+            # walk in windows with interleaved cursor ops
+            for fbk in (fast, loop):
+                fbk.set_time(0)
+            for w in range(4):
+                nb = int(rng.integers(1, 8))
+                self._assert_drum_equal(
+                    fast.bake_drum(0, nb), loop.bake_drum(0, nb)
+                )
+                self._assert_simple_equal(
+                    fast.bake_simple(0, nb), loop.bake_simple(0, nb)
+                )
+                fast.advance_blocks(nb)
+                loop.advance_blocks(nb)
+            # seek semantics stay aligned too
+            t = int(rng.integers(0, 150))
+            fast.set_time(t)
+            loop.set_time(t)
+            self._assert_drum_equal(
+                fast.bake_drum(0, 5), loop.bake_drum(0, 5)
+            )
+            self._assert_simple_equal(
+                fast.bake_simple(0, 5), loop.bake_simple(0, 5)
+            )
+
+    def test_unsorted_floww_uses_loop_path(self):
+        # out-of-order events: the fast path must not engage (frames
+        # unsorted), and behavior must follow the reference stale rules
+        ev_list = [ev(0.15, 62, 0.8), ev(0.05, 60, 0.9)]
+        fb = FlowwBank(100, 10)
+        fb.declare_floww("f", np.asarray(ev_list, np.float32))
+        assert not fb._frames_sorted(0)
+        bake = fb.bake_drum(0, 2)
+        # block 0: event@15 out of range; block 1: 15 hits, then 5 is stale
+        np.testing.assert_array_equal(bake.frames, [15])
