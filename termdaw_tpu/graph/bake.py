@@ -314,6 +314,34 @@ def bake_debug_sine(
 # ---------------------------------------------------------------------------
 # Synth / SampSyn note lifecycle (reference extensions.rs:459-578)
 # ---------------------------------------------------------------------------
+#
+# The reference's per-note envelope clock is an ACCUMULATED f32 value:
+# env_t starts at -(i/sr) when the note triggers mid-block and gains
+# f32(len/sr) at every block end (extensions.rs:483, 489-491, 526-528);
+# per frame the evaluators see f32(env_t + i/sr). That fold drifts from the
+# exact (frame - on)/sr clock (~0.4 ms after 2000 blocks at 48k/1024), so
+# segment-edge decisions -- and parity vs the reference -- require
+# replaying the exact f32 fold, not an analytic clock. The host replays it
+# with np.cumsum(dtype=float32) (verified elementwise-identical to the
+# sequential fold, tests/test_bake_caps.py) and bakes per-(block, instance)
+# clock tables the kernel offsets by f32(i/sr).
+
+
+def f32_div(i, sr) -> np.float32:
+    """i as f32 / sr as f32 (the reference's in-block time quantum)."""
+    return np.float32(np.float32(i) / np.float32(sr))
+
+
+def clock_fold(start_val, n: int, delta) -> np.ndarray:
+    """T[0] = start_val, T[j] = f32(T[j-1] + delta) -- the reference's
+    per-block clock accumulation (extensions.rs:526-527)."""
+    if n <= 0:
+        return np.zeros(0, np.float32)
+    a = np.empty(n, np.float32)
+    a[0] = np.float32(start_val)
+    a[1:] = np.float32(delta)
+    return np.cumsum(a, dtype=np.float32)
+
 
 @dataclass
 class NoteInst:
@@ -322,6 +350,8 @@ class NoteInst:
     on_f: int
     off_f: int | None = None   # None = held
     dead_f: int = INF_FRAME    # frame after which it no longer contributes
+    env_t: float = 0.0         # accumulated f32 clock at last window start
+    rel_t: float = 0.0         # f32 release-time capture (0 = held)
 
 
 @dataclass
@@ -329,19 +359,19 @@ class NotesCarry:
     notes: list[NoteInst] = field(default_factory=list)
 
 
-def _natural_dead_frame(off_f: int, t0: int, bl: int, release_sec: float,
-                        sr: int) -> int:
-    """Block-end retention (extensions.rs:528): the note is removed at the
-    end of the first block whose end-time exceeds off + release_sec; it
-    contributes through that whole block."""
-    # block ends are t0 + k*bl; find smallest end E > off_f with
-    # (E - off_f)/sr > release_sec
-    lim = off_f + release_sec * sr
-    k = max(0, int(np.floor((lim - t0) / bl)) + 1)
-    e = t0 + k * bl
-    while (e - off_f) / sr <= release_sec:  # guard float edge
-        e += bl
-    return e
+def _rel_dead_block(rel_anchor, ko: int, release_sec: float, delta) -> int:
+    """First block index the released note does NOT contribute to: the
+    reference removes it at the end of the first block where the
+    accumulated release clock exceeds release_sec (extensions.rs:528)."""
+    rs = np.float32(release_sec)
+    n = int(np.ceil(float(release_sec) / float(delta))) + 3 if delta > 0 \
+        else 4
+    while True:
+        t = clock_fold(rel_anchor, n + 1, delta)
+        over = np.nonzero(t[1:] > rs)[0]
+        if over.size:
+            return ko + int(over[0]) + 1
+        n *= 2  # pathological float edge; grow the horizon
 
 
 def bake_notes(
@@ -350,61 +380,127 @@ def bake_notes(
     steal: bool = False,
 ) -> tuple[dict[str, np.ndarray], NotesCarry]:
     caps = caps or {}
+    delta = f32_div(bl, sr)
     notes: list[NoteInst] = [
-        NoteInst(n.note, n.vel, n.on_f, n.off_f, n.dead_f) for n in carry.notes
+        NoteInst(n.note, n.vel, n.on_f, n.off_f, n.dead_f, n.env_t, n.rel_t)
+        for n in carry.notes
+    ]
+    # per-note current-phase fold anchors within THIS window:
+    # (ads_k, ads_val) while held, (rel_k, rel_val) once released.
+    # Carried notes anchor at block 0 with the carried clock value.
+    ads_anchor: list[tuple[int, float] | None] = [
+        (0, n.env_t) if n.rel_t == 0.0 else None for n in notes
+    ]
+    rel_anchor: list[tuple[int, float] | None] = [
+        (0, n.env_t) if n.rel_t != 0.0 else None for n in notes
     ]
     for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
                                 simple.vels):
         f = int(f)
+        kb = (f - t0) // bl
+        i_in = f - (t0 + kb * bl)
         if on:
             # always pushes, even with the pitch already active
             # (extensions.rs:482-483)
-            notes.append(NoteInst(float(note), float(vel), f))
+            anchor = -f32_div(i_in, sr)
+            notes.append(NoteInst(float(note), float(vel), f,
+                                  env_t=float(anchor)))
+            ads_anchor.append((kb, float(anchor)))
+            rel_anchor.append(None)
         else:
             # retain drops already-released same-pitch notes NOW
             # (extensions.rs:485): they stop contributing from this frame.
-            # Instances stay in the list (their span rows are still needed);
-            # dead_f <= f marks them as removed from the live set.
+            # Instances keep their table rows; dead_f <= f marks them out.
             for inst in notes:
                 if inst.dead_f <= f:
                     continue
                 if abs(inst.note - note) <= 0.001 and inst.off_f is not None:
                     inst.dead_f = f
-            # release the held same-pitch notes (extensions.rs:486-494)
-            for inst in notes:
+            # release the held same-pitch notes (extensions.rs:486-494):
+            # rel_t = f32(env_t + i/sr); the clock resets to -(i/sr)
+            for j, inst in enumerate(notes):
                 if inst.dead_f <= f:
                     continue
                 if abs(inst.note - note) <= 0.001 and inst.off_f is None:
                     inst.off_f = f
-                    inst.dead_f = _natural_dead_frame(
-                        f, t0, bl, release_sec, sr
+                    ak, av = ads_anchor[j]
+                    t_ads = clock_fold(av, kb - ak + 1, delta)[kb - ak]
+                    inst.rel_t = float(
+                        np.float32(t_ads + f32_div(i_in, sr))
                     )
+                    rv = -f32_div(i_in, sr)
+                    rel_anchor[j] = (kb, float(rv))
+                    kd = _rel_dead_block(rv, kb, release_sec, delta)
+                    inst.dead_f = t0 + kd * bl
+    # per-(block, instance) clock tables: the kernel adds f32(i/sr) per
+    # in-block frame (reference extensions.rs:501-506)
+    n = len(notes)
+    env_ads0 = np.zeros((nb, max(n, 1)), np.float32)
+    env_rel0 = np.zeros((nb, max(n, 1)), np.float32)
+    for j, inst in enumerate(notes):
+        if ads_anchor[j] is not None:
+            ak, av = ads_anchor[j]
+            k_hi = nb - 1 if rel_anchor[j] is None else min(
+                rel_anchor[j][0], nb - 1
+            )
+            if k_hi >= ak:
+                env_ads0[ak:k_hi + 1, j] = clock_fold(
+                    av, k_hi - ak + 1, delta
+                )
+        if rel_anchor[j] is not None:
+            rk, rv = rel_anchor[j]
+            if rk <= nb - 1:
+                env_rel0[rk:nb, j] = clock_fold(rv, nb - rk, delta)
     # dead instances keep their tables rows; spans trim them per block
-    starts = np.asarray([n.on_f for n in notes], np.int64) \
+    starts = np.asarray([x.on_f for x in notes], np.int64) \
         if notes else np.zeros(0, np.int64)
-    ends = np.asarray([n.dead_f for n in notes], np.int64) \
+    ends = np.asarray([x.dead_f for x in notes], np.int64) \
         if notes else np.zeros(0, np.int64)
     idx = block_table(starts, ends, t0, nb, bl, caps.get("p"), steal)
     n_pad = _capped(len(notes), caps.get("n"))
     cols = _pad_cols(
         {
-            "notes": np.asarray([n.note for n in notes], np.float32),
-            "hz": _note_hz([n.note for n in notes]),  # see bake_debug_sine
-            "vels": np.asarray([n.vel for n in notes], np.float32),
-            "on_f": np.asarray([n.on_f for n in notes], np.int32),
+            "notes": np.asarray([x.note for x in notes], np.float32),
+            "hz": _note_hz([x.note for x in notes]),  # see bake_debug_sine
+            # hz/sr as a TRUE f32 division (numpy is correctly rounded;
+            # the TPU's reciprocal-based divide is 1 ulp off) — feeds
+            # SampSyn's fixed-point phase increment
+            "cyc": (
+                _note_hz([x.note for x in notes]) / np.float32(sr)
+            ).astype(np.float32),
+            "vels": np.asarray([x.vel for x in notes], np.float32),
+            "on_f": np.asarray([x.on_f for x in notes], np.int32),
             "off_f": np.asarray(
-                [n.off_f if n.off_f is not None else SENTINEL for n in notes],
+                [x.off_f if x.off_f is not None else SENTINEL for x in notes],
                 np.int32,
             ),
             "dead_f": np.asarray(
-                [min(n.dead_f, INF_FRAME) for n in notes], np.int32
+                [min(x.dead_f, INF_FRAME) for x in notes], np.int32
             ),
+            "rel_t": np.asarray([x.rel_t for x in notes], np.float32),
         },
         n_pad,
     )
+    pad = np.zeros((nb, n_pad - max(n, 1)), np.float32)
+    env_ads0 = np.concatenate([env_ads0, pad], axis=1)
+    env_rel0 = np.concatenate([env_rel0, pad], axis=1)
     t1 = t0 + nb * bl
-    new_carry = NotesCarry([n for n in notes if n.dead_f > t1])
-    return {"idx": idx, **cols}, new_carry
+    # carry: each kept note's clock at the NEXT window start = its current
+    # phase fold continued one step past the last block of this window
+    kept: list[NoteInst] = []
+    for j, inst in enumerate(notes):
+        if inst.dead_f <= t1:
+            continue
+        ck, cv = rel_anchor[j] if rel_anchor[j] is not None \
+            else ads_anchor[j]
+        env_next = float(clock_fold(cv, nb - ck + 1, delta)[nb - ck])
+        kept.append(NoteInst(
+            inst.note, inst.vel, inst.on_f, inst.off_f, inst.dead_f,
+            env_next, inst.rel_t,
+        ))
+    return {
+        "idx": idx, "env_ads0": env_ads0, "env_rel0": env_rel0, **cols,
+    }, NotesCarry(kept)
 
 
 # ---------------------------------------------------------------------------
@@ -413,66 +509,92 @@ def bake_notes(
 
 @dataclass
 class AdsrCarry:
-    """Primary/ghost envelope cells. Anchors are absolute frames (float);
-    the reference's seconds-clock p.0 at window start t0 maps to
-    anchor = t0 - p.0 * sr. Initial cells are (0, 0, 0) at refresh
-    (extensions.rs:168-169) => anchor 0, vel 0, rel 0."""
+    """Primary/ghost envelope cells with the reference's ACCUMULATED f32
+    clocks: field t values are the reference's cell clock (p.0 / ghost.0)
+    at the window start; the clock starts at -(i/sr) on its anchoring
+    event and gains f32(len/sr) at every block end (extensions.rs:611,
+    613-617, 649-650). Initial cells are (0, 0, 0) at refresh
+    (extensions.rs:168-169)."""
 
-    p_anchor: float = 0.0
+    p_t: float = 0.0
     p_vel: float = 0.0
     p_rel: float = 0.0
-    g_anchor: float = 0.0
+    g_t: float = 0.0
     g_vel: float = 0.0
     g_rel: float = 0.0
 
 
-def bake_adsr_drum(
-    drum: DrumBake, carry: AdsrCarry, t0: int, nb: int, bl: int,
-    caps: dict | None = None,
+def _adsr_cell_tables(cells, nb: int, delta) -> np.ndarray:
+    """[nb, S] clock-at-block-start table for one cell role: column s is
+    the fold of segment s's cell from its anchor block (garbage before the
+    anchor block — frames there belong to earlier segments)."""
+    S = max(len(cells), 1)
+    tbl = np.zeros((nb, S), np.float32)
+    for s, (ak, av, _v, _r) in enumerate(cells):
+        if ak <= nb - 1:
+            tbl[ak:nb, s] = clock_fold(av, nb - ak, delta)
+    return tbl
+
+
+def _adsr_finish(
+    cells_p, cells_g, bounds, t0, nb, bl, delta, caps,
 ) -> tuple[dict[str, np.ndarray], AdsrCarry]:
-    """Drum mode (use_off=false, extensions.rs:631-647): each hit shifts
-    primary->ghost and retriggers primary. rel fields stay 0."""
-    caps = caps or {}
-    ef = drum.frames.tolist()
-    ev = drum.vels.tolist()
-    bounds = np.asarray(ef, np.int64)
-    p_anchor = np.asarray([carry.p_anchor] + ef, np.float32)
-    p_vel = np.asarray([carry.p_vel] + ev, np.float32)
-    g_anchor = np.concatenate(
-        [np.asarray([carry.g_anchor], np.float32), p_anchor[:-1]]
-    )
-    g_vel = np.concatenate([np.asarray([carry.g_vel], np.float32), p_vel[:-1]])
-    e_pad = _capped(len(ef) + 1, caps.get("e"))
+    e_pad = _capped(len(cells_p), caps.get("e"))
+    p_tbl = _adsr_cell_tables(cells_p, nb, delta)
+    g_tbl = _adsr_cell_tables(cells_g, nb, delta)
+    pad = np.zeros((nb, e_pad - p_tbl.shape[1]), np.float32)
     cols = _pad_cols(
         {
-            "p_anchor": p_anchor, "p_vel": p_vel,
-            "p_rel": np.zeros(len(ef) + 1, np.float32),
-            "g_anchor": g_anchor, "g_vel": g_vel,
-            "g_rel": np.zeros(len(ef) + 1, np.float32),
+            "p_vel": np.asarray([c[2] for c in cells_p], np.float32),
+            "p_rel": np.asarray([c[3] for c in cells_p], np.float32),
+            "g_vel": np.asarray([c[2] for c in cells_g], np.float32),
+            "g_rel": np.asarray([c[3] for c in cells_g], np.float32),
         },
         e_pad,
     )
+    bounds_a = np.asarray(bounds, np.int64)
     bounds_pad = np.full(_capped(len(bounds), caps.get("b")), INF_FRAME,
                          np.int64)
-    bounds_pad[: len(bounds)] = bounds
-    if ef:
-        last = len(ef)
-        prev_anchor = float(p_anchor[last - 1])
-        prev_vel = float(p_vel[last - 1])
-        new_carry = AdsrCarry(
-            p_anchor=float(ef[-1]), p_vel=float(ev[-1]), p_rel=0.0,
-            g_anchor=prev_anchor, g_vel=prev_vel, g_rel=0.0,
-        )
-    else:
-        new_carry = AdsrCarry(
-            carry.p_anchor, carry.p_vel, carry.p_rel,
-            carry.g_anchor, carry.g_vel, carry.g_rel,
-        )
+    bounds_pad[: len(bounds)] = bounds_a
+    # carry: the LAST segment's cells, clocks folded one step past the
+    # window's final block (reference extensions.rs:649-650)
+    pk, pv_, pvel, prel = cells_p[-1]
+    gk, gv_, gvel, grel = cells_g[-1]
+    new_carry = AdsrCarry(
+        float(clock_fold(pv_, nb - pk + 1, delta)[nb - pk]), pvel, prel,
+        float(clock_fold(gv_, nb - gk + 1, delta)[nb - gk]), gvel, grel,
+    )
     return {
         "bounds": bounds_pad.astype(np.int32),
         "n_bounds": np.int32(len(bounds)),
+        "p_t0": np.concatenate([p_tbl, pad], axis=1),
+        "g_t0": np.concatenate([g_tbl, pad], axis=1),
         **cols,
     }, new_carry
+
+
+def bake_adsr_drum(
+    drum: DrumBake, carry: AdsrCarry, t0: int, nb: int, bl: int, sr: int,
+    caps: dict | None = None,
+) -> tuple[dict[str, np.ndarray], AdsrCarry]:
+    """Drum mode (use_off=false, extensions.rs:631-647): each hit shifts
+    primary->ghost and retriggers primary. rel fields stay 0. Cell clocks
+    are the reference's accumulated f32 folds (see AdsrCarry)."""
+    caps = caps or {}
+    delta = f32_div(bl, sr)
+    # cells as (anchor_block, anchor_clock_value, vel, rel)
+    p = (0, carry.p_t, carry.p_vel, carry.p_rel)
+    g = (0, carry.g_t, carry.g_vel, carry.g_rel)
+    cells_p, cells_g, bounds = [p], [g], []
+    for f, vel in zip(drum.frames.tolist(), drum.vels.tolist()):
+        kb = (f - t0) // bl
+        i_in = f - (t0 + kb * bl)
+        g = p
+        p = (kb, float(-f32_div(i_in, sr)), float(vel), 0.0)
+        bounds.append(f)
+        cells_p.append(p)
+        cells_g.append(g)
+    return _adsr_finish(cells_p, cells_g, bounds, t0, nb, bl, delta, caps)
 
 
 def bake_adsr_off(
@@ -485,52 +607,31 @@ def bake_adsr_off(
     the *ghost* into release, the next puts the primary. The captured
     release value is apply_ads(conf, 0) * vel — the reference resets the
     clock before sampling (extensions.rs:613-617), so the capture lands at
-    t=0; replicated literally."""
+    t=0; replicated literally (with the f32 multiply)."""
     caps = caps or {}
-    p = [carry.p_anchor, carry.p_vel, carry.p_rel]
-    g = [carry.g_anchor, carry.g_vel, carry.g_rel]
-    bounds: list[int] = []
-    rows: list[tuple] = []
-
-    def snapshot():
-        rows.append((p[0], p[1], p[2], g[0], g[1], g[2]))
-
-    snapshot()  # segment 0 = carry state
+    delta = f32_div(bl, sr)
+    p = (0, carry.p_t, carry.p_vel, carry.p_rel)
+    g = (0, carry.g_t, carry.g_vel, carry.g_rel)
+    cells_p, cells_g, bounds = [p], [g], []
+    rel0 = np.float32(np_apply_ads(conf, np.float32(0.0)))
     for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
                                 simple.vels):
         if target_note is not None and abs(target_note - note) > 0.01:
             continue
         f = int(f)
+        kb = (f - t0) // bl
+        i_in = f - (t0 + kb * bl)
+        anchor = float(-f32_div(i_in, sr))
         if on:
-            g[0], g[1], g[2] = p
-            p[0], p[1], p[2] = float(f), float(vel), 0.0
-        elif g[2] == 0.0:
-            g[0] = float(f)
-            g[2] = float(np_apply_ads(conf, np.float32(0.0))) * g[1]
+            g = p
+            p = (kb, anchor, float(vel), 0.0)
+        elif g[3] == 0.0:
+            g = (kb, anchor, g[2],
+                 float(np.float32(rel0 * np.float32(g[2]))))
         else:
-            p[0] = float(f)
-            p[2] = float(np_apply_ads(conf, np.float32(0.0))) * p[1]
+            p = (kb, anchor, p[2],
+                 float(np.float32(rel0 * np.float32(p[2]))))
         bounds.append(f)
-        snapshot()
-
-    rows_a = np.asarray(rows, np.float32)
-    e_pad = _capped(len(rows), caps.get("e"))
-    cols = _pad_cols(
-        {
-            "p_anchor": rows_a[:, 0], "p_vel": rows_a[:, 1],
-            "p_rel": rows_a[:, 2],
-            "g_anchor": rows_a[:, 3], "g_vel": rows_a[:, 4],
-            "g_rel": rows_a[:, 5],
-        },
-        e_pad,
-    )
-    bounds_a = np.asarray(bounds, np.int64)
-    bounds_pad = np.full(_capped(len(bounds), caps.get("b")), INF_FRAME,
-                         np.int64)
-    bounds_pad[: len(bounds)] = bounds_a
-    new_carry = AdsrCarry(p[0], p[1], p[2], g[0], g[1], g[2])
-    return {
-        "bounds": bounds_pad.astype(np.int32),
-        "n_bounds": np.int32(len(bounds)),
-        **cols,
-    }, new_carry
+        cells_p.append(p)
+        cells_g.append(g)
+    return _adsr_finish(cells_p, cells_g, bounds, t0, nb, bl, delta, caps)

@@ -83,6 +83,29 @@ def _unpack_bakes(ints_buf, floats_buf, layout):
 # with unchanged topology/static config never recompiles
 _PROGRAM_CACHE: dict = {}
 
+# device-resident frame->seconds tables, keyed by (sr, pow2 length).
+# The reference computes time = (t+i) as f32 / sr as f32 with a TRUE f32
+# division; this TPU has no f32 divider (XLA lowers /. to a reciprocal
+# approximation measured 1 ulp off on 57% of integer/sr quotients), and
+# at second-scale oscillator phases that 1 ulp is ~-77 dBFS. numpy's
+# division IS correctly rounded, so the table is computed host-side once
+# and windows dynamic-slice it on device. ~4 MB per minute of timeline.
+_TIME_TABLES: dict[tuple, jnp.ndarray] = {}
+
+
+def time_table(sr: int, n_frames: int) -> jnp.ndarray:
+    n2 = 1 << max(12, (int(n_frames) - 1).bit_length())
+    key = (sr, n2)
+    tab = _TIME_TABLES.get(key)
+    if tab is None:
+        f = np.arange(n2, dtype=np.int64).astype(np.float32)  # (t+i) as f32
+        tab = jnp.asarray(f / np.float32(sr))                 # true f32 div
+        _TIME_TABLES[key] = tab
+        # drop smaller tables for the same sr (strict prefixes)
+        for k in [k for k in _TIME_TABLES if k[0] == sr and k[1] < n2]:
+            del _TIME_TABLES[k]
+    return tab
+
 # sticky bake-table caps across refreshes, keyed by (vertex name, kind):
 # a refresh that keeps a vertex reuses its caps, so the rebuilt graph's
 # window layouts — and thus its compiled programs — match the old ones
@@ -98,7 +121,7 @@ def _caps_from_table(kind: str, tbl: dict) -> dict[str, int]:
         return {"e": int(tbl["p_starts"].shape[0]),
                 "b": int(tbl["bounds"].shape[0])}
     if kind == G.ADSR:
-        return {"e": int(tbl["p_anchor"].shape[0]),
+        return {"e": int(tbl["p_vel"].shape[0]),
                 "b": int(tbl["bounds"].shape[0])}
     if kind == "fused":
         return {"pf": int(tbl["begins"].shape[1])}
@@ -502,11 +525,9 @@ class CompiledGraph:
                     if n.dead_f < B.INF_FRAME:
                         n.dead_f += dt
             elif kind == G.ADSR:
-                self.carries[vi] = replace(
-                    carry,
-                    p_anchor=carry.p_anchor + dt,
-                    g_anchor=carry.g_anchor + dt,
-                )
+                pass  # cell clocks are time-relative values; they carry
+                # through seeks unchanged (the reference's set_time does
+                # not reset Adsr state, extensions.rs:196-204)
         for vi in self.order:
             if self.statics[vi].kind == G.BANDPASS:
                 self.num_state[f"{vi}.bp"] = BandPassState.init()
@@ -533,6 +554,7 @@ class CompiledGraph:
         bakes, new_carries = self._bake_all(fb, t0, nb, fused=self.use_pallas)
         ints_buf, floats_buf, layout = _pack_bakes(bakes)
         fx_vec, fx_layout = self._pack_fx()
+        ttab = time_table(self.sr, t0 + nb * self.bl)
 
         fn = self._get_fn(nb, is_scan, layout, fx_layout)
         filters._EXACT_BIQUAD_OVERRIDE = self.exact_biquad
@@ -547,6 +569,7 @@ class CompiledGraph:
                 tuple(self.samples_padded[p] for p in self.padded_order),
                 tuple(self.wavetables),
                 np.int32(t0),
+                ttab,
             )
         finally:
             filters._EXACT_BIQUAD_OVERRIDE = None
@@ -618,7 +641,9 @@ class CompiledGraph:
         for vkey, name, pos in fx_layout:
             fx_params.setdefault(vkey, {})[name] = np.float32(fx_vec[pos])
 
-        key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout)
+        ttab_len = int(time_table(self.sr, t0 + nb_total * self.bl).shape[0])
+        key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout,
+               ttab_len)
         if key not in self._jit_cache:
             state_spec = jax.tree.map(lambda _: P(), self.num_state)
             in_specs = (
@@ -629,6 +654,7 @@ class CompiledGraph:
                 (),
                 tuple((P(None), P(None, None)) for _ in self.wavetables),
                 jax.tree.map(lambda _: P(), fx_params),
+                P(),
                 P(),
             )
             out_specs = (state_spec, P(axis_name, None, None))
@@ -651,6 +677,7 @@ class CompiledGraph:
             tuple(self.wavetables),
             fx_params,
             jnp.int32(t0),
+            time_table(self.sr, t0 + nb_total * self.bl),
         )
         self.num_state = new_state
         self.carries.update(new_carries)
@@ -717,7 +744,7 @@ class CompiledGraph:
                 else:
                     drum = fb.bake_drum(st.floww_index, nb).filter_note(st.note)
                     tbl, nc = B.bake_adsr_drum(
-                        drum, carry, t0, nb, self.bl, caps
+                        drum, carry, t0, nb, self.bl, self.sr, caps
                     )
             else:  # pragma: no cover
                 continue
@@ -925,14 +952,14 @@ class CompiledGraph:
         if key not in self._jit_cache:
 
             def packed(num_state, params, ints_buf, floats_buf, fx_vec,
-                       samples, samples_padded, wts, t0):
+                       samples, samples_padded, wts, t0, ttab):
                 bakes = _unpack_bakes(ints_buf, floats_buf, layout)
                 fx_params: dict[str, dict] = {}
                 for vkey, name, pos in fx_layout:
                     fx_params.setdefault(vkey, {})[name] = fx_vec[pos]
                 return self._program(
                     num_state, params, bakes, samples, samples_padded, wts,
-                    fx_params, t0, nb=nb, is_scan=is_scan,
+                    fx_params, t0, nb=nb, is_scan=is_scan, ttab=ttab,
                 )
 
             self._jit_cache[key] = jax.jit(packed)
@@ -975,18 +1002,25 @@ class CompiledGraph:
 
     def _program(
         self, num_state, params, bakes, samples, samples_padded, wts,
-        fx_params, t0,
+        fx_params, t0, ttab=None,
         *, nb: int, is_scan: bool, axis_name: str | None = None,
         block_shaped_out: bool = False,
     ):
         gains, angles, wets = params
         bl, sr = self.bl, self.sr
+        if ttab is None:  # compile-check path; renders always pass it
+            ttab = time_table(sr, int(nb * bl * 2))
         T = nb * bl
         if axis_name is None:
             frames = t0 + jnp.arange(T, dtype=jnp.int32)
         else:
             dev = jax.lax.axis_index(axis_name).astype(jnp.int32)
             frames = t0 + dev * T + jnp.arange(T, dtype=jnp.int32)
+        T_ = nb * bl
+        time2d = jax.lax.dynamic_slice(ttab, (frames[0],), (T_,)).reshape(
+            nb, bl
+        )
+        ib = jax.lax.slice(ttab, (0,), (bl,))  # f32(i)/f32(sr), i in block
         bufs: dict[int, jnp.ndarray] = {}
         ns = dict(num_state)
         fused_on = self.use_pallas and axis_name is None
@@ -1055,23 +1089,27 @@ class CompiledGraph:
                     samples[st.sample_pos], bakes[key], frames, st.lerp_len
                 )
             elif kind == G.DEBUGSINE:
-                out = synthv.debug_sine(bakes[key], frames, nb, bl, sr)
+                out = synthv.debug_sine(
+                    bakes[key], frames, nb, bl, sr, time2d=time2d
+                )
             elif kind == G.SYNTH:
                 (sqv, sqz), (tfv, tfz), (trv, _) = st.osc_static
                 sqc, tfc, trc = st.confs
                 out = synthv.synth(
                     bakes[key], frames, nb, bl, sr,
                     sqv, sqz, sqc, tfv, tfz, tfc, trv, trc,
+                    time2d=time2d, ib=ib,
                 )
             elif kind == G.SAMPSYN:
                 times, waves = wts[st.wt_pos]
                 out = synthv.sampsyn(
-                    bakes[key], frames, nb, bl, sr, st.confs[0], times, waves
+                    bakes[key], frames, nb, bl, sr, st.confs[0], times, waves,
+                    time2d=time2d, ib=ib,
                 )
             elif kind == G.ADSR:
                 out = envelope.adsr_apply(
                     x, bakes[key], frames, sr, st.confs[0],
-                    st.use_off, st.use_max, wets[vi],
+                    st.use_off, st.use_max, wets[vi], ib=ib,
                 )
             elif kind == G.BANDPASS:
                 out, bp = filters.band_pass_timeline(

@@ -79,23 +79,39 @@ def _safe_div(num, den: float):
     return num / jnp.float32(den)
 
 
+def _seg_bounds(conf: AdsrConf):
+    """Segment boundaries summed in f32 like the reference
+    (adsr.rs:46-56: t <= attack_sec + decay_sec + ... are f32 adds).
+    A python-f64 sum rounded at the comparison can land 1 ulp away and
+    flip the segment choice for a frame whose clock hits the edge
+    exactly — a one-frame -20 dBFS spike on discontinuous envelopes."""
+    a32 = np.float32(conf.attack_sec)
+    d32 = np.float32(conf.decay_sec)
+    s32 = np.float32(conf.sustain_sec)
+    ad = np.float32(a32 + d32)
+    ads_end = np.float32(ad + s32)
+    return a32, ad, ads_end
+
+
 def apply_ads(conf: AdsrConf, t):
     """ADS value at time t, holding sustain_vel past the sustain window."""
     t = jnp.asarray(t, jnp.float32)
     a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
-    in_attack = t <= a
-    in_decay = t <= a + d
-    in_sustain = t <= a + d + s
+    a32, ad, ads_end = _seg_bounds(conf)
+    in_attack = t <= a32
+    in_decay = t <= ad
+    in_sustain = t <= ads_end
     v_attack = lerp(
         jnp.float32(conf.std_vel), jnp.float32(conf.attack_vel), _safe_div(t, a)
     )
     v_decay = lerp(
         jnp.float32(conf.attack_vel), jnp.float32(conf.decay_vel),
-        _safe_div(t - a, d),
+        _safe_div(t - a32, d),
     )
+    d32 = np.float32(conf.decay_sec)
     v_sustain = lerp(
         jnp.float32(conf.decay_vel), jnp.float32(conf.sustain_vel),
-        _safe_div(t - a - d, s),
+        _safe_div(t - a32 - d32, s),  # sequential f32 subs (adsr.rs:52-56)
     )
     v_hold = jnp.float32(conf.sustain_vel)
     return jnp.where(
@@ -119,11 +135,14 @@ def apply_r(conf: AdsrConf, t, old_val):
 def apply_adsr(conf: AdsrConf, t):
     """Full fixed-timeline envelope incl. release (reference adsr.rs:75-86)."""
     t = jnp.asarray(t, jnp.float32)
-    a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
     ads = apply_ads(conf, t)
-    in_ads = t <= a + d + s
+    a32, _ad, ads_end = _seg_bounds(conf)
+    d32 = np.float32(conf.decay_sec)
+    s32 = np.float32(conf.sustain_sec)
+    in_ads = t <= ads_end
     r = conf.release_sec
-    rel_t = t - (a + d + s)
+    # sequential f32 subtractions (adsr.rs:79-84)
+    rel_t = t - a32 - d32 - s32
     frac = jnp.minimum(_safe_div(rel_t, r) if r > 0 else jnp.ones_like(t), 1.0)
     if r <= 0.0:
         frac = jnp.ones_like(t)

@@ -28,9 +28,30 @@ def _block_gather(bake, nb, bl, frames):
     return idx, valid, f
 
 
+def _time2d(frames, nb, bl, sr, time2d):
+    """Per-frame reference time f32((t+i)/sr), shaped [nb, bl].
+
+    Callers on the render path pass `time2d` sliced from the host-built
+    time table (graph/compile.time_table): this TPU has no f32 divider —
+    XLA lowers /. to a reciprocal approximation measured 1 ulp off on 57%
+    of integer/sr quotients, and at second-scale oscillator phases that
+    1 ulp is ~-77 dBFS against the reference's true f32 division. The
+    in-line division below is the small-scale/compile-check fallback."""
+    if time2d is not None:
+        return time2d
+    return frames.reshape(nb, bl).astype(jnp.float32) / jnp.float32(sr)
+
+
+def _ib(bl, sr, ib):
+    """In-block offsets f32(i)/f32(sr) (see _time2d for why baked)."""
+    if ib is not None:
+        return ib
+    return jnp.arange(bl, dtype=jnp.float32) / jnp.float32(sr)
+
+
 def debug_sine(
     bake: dict[str, jnp.ndarray], frames: jnp.ndarray, nb: int, bl: int,
-    sr: int,
+    sr: int, time2d=None,
 ) -> jnp.ndarray:
     """Pure per-note sines, no envelope (extensions.rs:423-457)."""
     idx, valid, f = _block_gather(bake, nb, bl, frames)
@@ -42,7 +63,7 @@ def debug_sine(
         & (f[:, :, None] >= s0[:, None, :])
         & (f[:, :, None] < e0[:, None, :])
     )  # [nb, bl, P]
-    time = f.astype(jnp.float32) / jnp.float32(sr)  # [nb, bl]
+    time = _time2d(frames, nb, bl, sr, time2d)  # [nb, bl]
     hz = bake["hz"][idx]  # [nb, P] host-exact (see bake._note_hz)
     sig = osc.sin_f32(time[:, :, None] * hz[:, None, :] * osc.TWO_PI)
     sig = sig * jnp.where(active, vel[:, None, :], 0.0)
@@ -50,18 +71,30 @@ def debug_sine(
     return jnp.stack([mono, mono], axis=1)
 
 
-def _note_envelope(conf: AdsrConf, f, on_f, off_f, sr: int):
+def _clock_fields(bake, idx, nb: int, bl: int, ib):
+    """Per-frame reference envelope clocks from the baked per-(block,
+    instance) accumulated-f32 tables (graph/bake.py:bake_notes): the
+    reference evaluates f32(env_t + i/sr) per frame (extensions.rs:
+    501-506), with env_t the per-block accumulated clock. Returns
+    (env_ads_t, env_rel_t, rel_t) shaped [nb, bl, P] / [nb, 1, P]."""
+    safe = jnp.clip(idx, 0, None)
+    ads0 = jnp.take_along_axis(bake["env_ads0"], safe, axis=1)  # [nb, P]
+    rel0 = jnp.take_along_axis(bake["env_rel0"], safe, axis=1)
+    rel_t = bake["rel_t"][idx][:, None, :]  # [nb, 1, P]
+    ibx = ib[None, :, None]  # f32(i)/f32(sr), reference's in-block offset
+    env_ads_t = ads0[:, None, :] + ibx
+    env_rel_t = rel0[:, None, :] + ibx
+    return env_ads_t, env_rel_t, rel_t
+
+
+def _note_envelope(conf: AdsrConf, f, off_f, env_ads_t, env_rel_t, rel_t):
     """env(t) per reference extensions.rs:505-506: apply_ads while held,
     apply_r_rt after note-off (release measured from the off moment).
     `held` is per-frame: the off frame may be baked ahead of time, but the
     release only starts once the timeline reaches it."""
     held = jnp.logical_or(off_f == SENTINEL, f < off_f)
-    srf = jnp.float32(sr)
-    ads_t = (f - on_f).astype(jnp.float32) / srf
-    rel_el = (f - off_f).astype(jnp.float32) / srf
-    rel_t = (off_f - on_f).astype(jnp.float32) / srf
     return jnp.where(
-        held, apply_ads(conf, ads_t), apply_r_rt(conf, rel_el, rel_t)
+        held, apply_ads(conf, env_ads_t), apply_r_rt(conf, env_rel_t, rel_t)
     )
 
 
@@ -70,7 +103,7 @@ def synth(
     sr: int,
     sq_vol: float, sq_z: float, sq_conf: AdsrConf,
     tf_vol: float, tf_z: float, tf_conf: AdsrConf,
-    tr_vol: float, tr_conf: AdsrConf,
+    tr_vol: float, tr_conf: AdsrConf, time2d=None, ib=None,
 ) -> jnp.ndarray:
     """3-oscillator synth (extensions.rs:459-529): square-sine + topflat-sine
     + triangle, each with its own ADSR; output scaled by
@@ -85,9 +118,12 @@ def synth(
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
     dead_f = bake["dead_f"][idx]
+    ads_t, rel_el, rel_t = _clock_fields(
+        bake, idx, nb, bl, _ib(bl, sr, ib)
+    )
 
     fb = f[:, :, None]  # [nb, bl, 1]
-    time = f.astype(jnp.float32)[:, :, None] / jnp.float32(sr)
+    time = _time2d(frames, nb, bl, sr, time2d)[:, :, None]
     hz = bake["hz"][idx][:, None, :]  # [nb, 1, P] host-exact
     on_b = on_f[:, None, :]
     off_b = off_f[:, None, :]
@@ -100,13 +136,13 @@ def synth(
 
     s = jnp.zeros(fb.shape[:2] + (idx.shape[1],), jnp.float32)
     if sq_vol > 0.0:
-        env = _note_envelope(sq_conf, fb, on_b, off_b, sr)
+        env = _note_envelope(sq_conf, fb, off_b, ads_t, rel_el, rel_t)
         s = s + osc.square_sine(time, hz, sq_z) * velb * env * sq_vol
     if tf_vol > 0.0:
-        env = _note_envelope(tf_conf, fb, on_b, off_b, sr)
+        env = _note_envelope(tf_conf, fb, off_b, ads_t, rel_el, rel_t)
         s = s + osc.topflat_sine(time, hz, tf_z) * velb * env * tf_vol
     if tr_vol > 0.0:
-        env = _note_envelope(tr_conf, fb, on_b, off_b, sr)
+        env = _note_envelope(tr_conf, fb, off_b, ads_t, rel_el, rel_t)
         s = s + osc.triangle(time, hz) * velb * env * tr_vol
     s = s * amp_mult
     s = jnp.where(valid[:, None, :] & alive, s, 0.0)
@@ -119,6 +155,7 @@ def sampsyn(
     sr: int, conf: AdsrConf,
     table_times: jnp.ndarray,  # [K]
     table_waves: jnp.ndarray,  # [K, W]
+    time2d=None, ib=None,
 ) -> jnp.ndarray:
     """Time-varying wavetable synth (reference SampSyn,
     extensions.rs:531-578): same note lifecycle/ADSR as Synth, oscillator =
@@ -133,15 +170,20 @@ def sampsyn(
     on_f = bake["on_f"][idx]
     off_f = bake["off_f"][idx]
     dead_f = bake["dead_f"][idx]
+    ads_t, rel_el, rel_t = _clock_fields(
+        bake, idx, nb, bl, _ib(bl, sr, ib)
+    )
 
     fb = f[:, :, None]
     on_b = on_f[:, None, :]
     off_b = off_f[:, None, :]
     alive = (fb >= on_b) & (fb < dead_f[:, None, :])
-    env = _note_envelope(conf, fb, on_b, off_b, sr)
+    env = _note_envelope(conf, fb, off_b, ads_t, rel_el, rel_t)
 
-    # table clock: seconds since note-on
-    tau = (fb - on_b).astype(jnp.float32) / jnp.float32(sr)  # [nb, bl, P]
+    # table clock: env_time + rel_t (reference extensions.rs:569) — the
+    # accumulated f32 clock, ~time since note-on; rel_t is 0 while held
+    held = jnp.logical_or(off_b == SENTINEL, fb < off_b)
+    tau = jnp.where(held, ads_t, rel_el + rel_t)  # [nb, bl, P] f32
     if K > 1:
         k = jnp.clip(
             jnp.searchsorted(table_times, tau.reshape(-1), side="right") - 1,
@@ -156,9 +198,9 @@ def sampsyn(
         blend = jnp.zeros(tau.size, jnp.float32)
 
     # fixed-point phase: n * round(hz/sr * 2^32) mod 2^32, exact wrap
-    hz = bake["hz"][idx][:, None, :]  # [nb, 1, P] host-exact
+    # hz/sr baked host-side (true f32 division; see _time2d)
     n = (fb - on_b).astype(jnp.uint32)  # frames since on
-    cyc = hz / jnp.float32(sr)
+    cyc = bake["cyc"][idx][:, None, :]
     c_fix = (cyc * jnp.float32(2.0**32)).astype(jnp.uint32)
     phase_fix = n * jnp.broadcast_to(c_fix, n.shape)  # uint32 wraps = mod 2^32
     phase = phase_fix.astype(jnp.float32) * jnp.float32(W / 2.0**32)  # [0, W)

@@ -91,6 +91,27 @@ def lerp(a, b, t):
     return a + t * (b - a)
 
 
+# -- reference f32 clock arithmetic -----------------------------------------
+# The reference keeps every envelope clock in f32 and ACCUMULATES it:
+# -(i/sr) on trigger, += f32(len/sr) per block (extensions.rs:483, 526-528).
+# The oracle replays the identical f32 fold so segment-edge decisions match
+# the engine's baked clocks (graph/bake.py) frame-for-frame; envelope VALUE
+# arithmetic stays f32 too (numpy f32 scalar ops round like the engine).
+
+F32 = np.float32
+
+
+def fdiv(i, sr):
+    """i as f32 / sr as f32 (the reference's time quantum)."""
+    return np.float32(np.float32(i) / np.float32(sr))
+
+
+def conf32(conf):
+    """Quantize an ADSR conf to f32 like mlua does when passing Lua
+    numbers into the reference's f32 API."""
+    return tuple(np.float32(x) for x in conf)
+
+
 def ads(conf, t):
     sv, a_s, av, d_s, dv, s_s, svel, r_s, rv = conf
     if a_s > 0 and t <= a_s:
@@ -312,9 +333,9 @@ class DebugSine(V):
                     ]
             s = 0.0
             for note, vel in self.notes:
-                time = (ctx["t"] + i) / sr
+                time = fdiv(ctx["t"] + i, sr)
                 hz = 440.0 * 2 ** ((note - 69.0) / 12.0)
-                s += math.sin(time * hz * 2 * math.pi) * vel
+                s += math.sin(_sin_arg32(time, hz)) * vel
             buf[i] = s
         return buf
 
@@ -324,7 +345,9 @@ class Synth(V):
         # sq/tf/tr: (vol, z, conf9)
         super().__init__(**kw)
         self.floww = floww
-        self.sq, self.tf, self.tr = sq, tf, tr
+        self.sq, self.tf, self.tr = (
+            (v[0], v[1], conf32(v[2])) for v in (sq, tf, tr)
+        )
         self.notes: list = []  # [note, vel, env_t, rel_t]
 
     def gen(self, ctx, ins):
@@ -349,7 +372,7 @@ class Synth(V):
         for i in range(ctx["bl"]):
             for on, note, vel in fl.get_block_simple(i):
                 if on:
-                    self.notes.append([note, vel, -(i / sr), 0.0])
+                    self.notes.append([note, vel, -fdiv(i, sr), F32(0.0)])
                 else:
                     self.notes = [
                         n for n in self.notes
@@ -359,12 +382,12 @@ class Synth(V):
                         if abs(n[0] - note) > 0.001:
                             continue
                         if n[3] == 0.0:
-                            n[3] = n[2] + i / sr
-                            n[2] = -(i / sr)
+                            n[3] = F32(n[2] + fdiv(i, sr))
+                            n[2] = -fdiv(i, sr)
             s = 0.0
             for note, vel, env_t, rel_t in self.notes:
-                time = (ctx["t"] + i) / sr
-                env_time = env_t + i / sr
+                time = fdiv(ctx["t"] + i, sr)
+                env_time = F32(env_t + fdiv(i, sr))
                 hz = 440.0 * 2 ** ((note - 69.0) / 12.0)
 
                 def env(c):
@@ -380,7 +403,7 @@ class Synth(V):
                     s += tri(time, hz) * vel * env(trc) * trv
             buf[i] = s * amp
         for n in self.notes:
-            n[2] += ctx["bl"] / sr
+            n[2] = F32(n[2] + fdiv(ctx["bl"], sr))
         self.notes = [n for n in self.notes
                       if n[3] == 0.0 or n[2] <= release_sec]
         return buf
@@ -395,7 +418,7 @@ class SampSyn(V):
     def __init__(self, floww, conf9, times, waves, **kw):
         super().__init__(**kw)
         self.floww = floww
-        self.conf = conf9
+        self.conf = conf32(conf9)
         self.times = np.asarray(times, np.float64)  # [K]
         self.waves = np.asarray(waves, np.float64)  # [K, W]
         self.notes: list = []  # [note, vel, env_t, rel_t, on_frame]
@@ -442,7 +465,7 @@ class SampSyn(V):
             for on, note, vel in fl.get_block_simple(i):
                 if on:
                     self.notes.append(
-                        [note, vel, -(i / sr), 0.0, ctx["t"] + i]
+                        [note, vel, -fdiv(i, sr), F32(0.0), ctx["t"] + i]
                     )
                 else:
                     self.notes = [
@@ -453,21 +476,21 @@ class SampSyn(V):
                         if abs(n[0] - note) > 0.001:
                             continue
                         if n[3] == 0.0:
-                            n[3] = n[2] + i / sr
-                            n[2] = -(i / sr)
+                            n[3] = F32(n[2] + fdiv(i, sr))
+                            n[2] = -fdiv(i, sr)
             s = 0.0
             for note, vel, env_t, rel_t, on_frame in self.notes:
-                env_time = env_t + i / sr
+                env_time = F32(env_t + fdiv(i, sr))
                 env = (ads(c, env_time) if rel_t == 0.0
                        else r_rt(c, env_time, rel_t))
-                tau = env_time + rel_t  # time since note-on
+                tau = F32(env_time + rel_t)  # time since note-on
                 n_since = (ctx["t"] + i) - on_frame
                 if n_since < 0:
                     continue
                 s += self._wave(note, n_since, tau) * vel * env
             buf[i] = s * amp
         for n in self.notes:
-            n[2] += ctx["bl"] / sr
+            n[2] = F32(n[2] + fdiv(ctx["bl"], sr))
         self.notes = [n for n in self.notes
                       if n[3] == 0.0 or n[2] <= release_sec]
         return buf
@@ -480,7 +503,7 @@ class Adsr(V):
                  **kw):
         super().__init__(**kw)
         self.floww = floww
-        self.conf = conf
+        self.conf = conf32(conf)
         self.use_off = use_off
         self.use_max = use_max
         self.note = note
@@ -499,28 +522,28 @@ class Adsr(V):
         minmul = 1.0 - maxmul
         if self.use_off:
             for i in range(ctx["bl"]):
-                offset = i / sr
+                offset = fdiv(i, sr)
                 for on, n, v in fl.get_block_simple(i):
                     if self.note is not None and abs(self.note - n) > 0.01:
                         continue
                     if on:
                         self.ghost = list(self.primary)
-                        self.primary = [-(i / sr), v, 0.0]
+                        self.primary = [-fdiv(i, sr), v, 0.0]
                     elif self.ghost[2] == 0.0:
-                        self.ghost[0] = -(i / sr)
+                        self.ghost[0] = -fdiv(i, sr)
                         self.ghost[2] = ads(
-                            self.conf, self.ghost[0] + offset
+                            self.conf, F32(self.ghost[0] + offset)
                         ) * self.ghost[1]
                     else:
-                        self.primary[0] = -(i / sr)
+                        self.primary[0] = -fdiv(i, sr)
                         self.primary[2] = ads(
-                            self.conf, self.primary[0] + offset
+                            self.conf, F32(self.primary[0] + offset)
                         ) * self.primary[1]
                 p, g = self.primary, self.ghost
-                pvel = (ads(self.conf, p[0] + offset) if p[2] == 0.0
-                        else rel(self.conf, p[0] + offset, p[2])) * p[1]
-                gvel = (ads(self.conf, g[0] + offset) if g[2] == 0.0
-                        else rel(self.conf, g[0] + offset, g[2])) * g[1]
+                pvel = (ads(self.conf, F32(p[0] + offset)) if p[2] == 0.0
+                        else rel(self.conf, F32(p[0] + offset), p[2])) * p[1]
+                gvel = (ads(self.conf, F32(g[0] + offset)) if g[2] == 0.0
+                        else rel(self.conf, F32(g[0] + offset), g[2])) * g[1]
                 av = max(pvel, gvel) * maxmul + min(pvel, gvel) * minmul
                 buf[i] *= lerp(1.0, av, self.wet)
         else:
@@ -530,16 +553,16 @@ class Adsr(V):
                     n, v = hit
                     if self.note is None or abs(self.note - n) <= 0.01:
                         self.ghost = list(self.primary)
-                        self.primary = [-(i / sr), v, 0.0]
-                offset = i / sr
-                pvel = adsr_full(self.conf, self.primary[0] + offset) \
+                        self.primary = [-fdiv(i, sr), v, 0.0]
+                offset = fdiv(i, sr)
+                pvel = adsr_full(self.conf, F32(self.primary[0] + offset)) \
                     * self.primary[1]
-                gvel = adsr_full(self.conf, self.ghost[0] + offset) \
+                gvel = adsr_full(self.conf, F32(self.ghost[0] + offset)) \
                     * self.ghost[1]
                 av = max(pvel, gvel) * maxmul + min(pvel, gvel) * minmul
                 buf[i] *= lerp(1.0, av, self.wet)
-        self.primary[0] += ctx["bl"] / sr
-        self.ghost[0] += ctx["bl"] / sr
+        self.primary[0] = F32(self.primary[0] + fdiv(ctx["bl"], sr))
+        self.ghost[0] = F32(self.ghost[0] + fdiv(ctx["bl"], sr))
         return buf
 
 
