@@ -472,6 +472,48 @@ class State:
         print(f"{GREEN}Ok: refreshed.{DEFAULT}")
         self.loaded = True
 
+    # ------------------------------------------------------------------ mesh
+    def _mesh_plan(self):
+        """Default multi-device plan: when more than one accelerator is
+        visible, long renders shard the timeline over all of them
+        (sequence parallelism, graph/compile.render_window_sharded).
+        TERMDAW_MESH=0 opts out. Returns (mesh | None, n_dev, step)."""
+        import os
+
+        import jax
+
+        step = render_chunk_blocks(self.cs)
+        if os.environ.get("TERMDAW_MESH", "1") == "0":
+            return None, 1, step
+        devs = jax.devices()
+        if len(devs) < 2:
+            return None, 1, step
+        if getattr(self, "_mesh", None) is None:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
+        n_dev = len(devs)
+        # window size must divide across devices; equal-chunk preference
+        # yields to divisibility (the tail renders single-device)
+        step = max(n_dev, RENDER_WINDOW_BLOCKS - RENDER_WINDOW_BLOCKS % n_dev)
+        return self._mesh, n_dev, step
+
+    @staticmethod
+    def _pick_nb(left: int, step: int, n_dev: int) -> int:
+        """Window size for this iteration: capped at `step`, rounded DOWN
+        to a device multiple when sharding (the indivisible tail renders
+        single-device on the next iteration)."""
+        nb = min(left, step)
+        if n_dev > 1 and nb > n_dev:
+            nb -= nb % n_dev
+        return nb
+
+    def _render_window_auto(self, cg, nb: int, mesh, n_dev: int,
+                            is_scan: bool = False):
+        if mesh is not None and nb % n_dev == 0 and nb // n_dev > 0:
+            return cg.render_window_sharded(self.fb, nb, mesh, is_scan=is_scan)
+        return cg.render_window(self.fb, nb, is_scan=is_scan)
+
     # ------------------------------------------------------------------ scan
     def scan_exact(self) -> None:
         """2-pass normalization scan (reference graph.rs:222-237)."""
@@ -482,11 +524,11 @@ class State:
         cg.set_time(0)
         self.fb.set_time(0)
         left = self.cs
-        step = render_chunk_blocks(self.cs)
+        mesh, n_dev, step = self._mesh_plan()
         cg.seed_caps(self.fb, self.cs, step)
         while left > 0:
-            nb = min(left, step)
-            cg.render_window(self.fb, nb, is_scan=True)
+            nb = self._pick_nb(left, step, n_dev)
+            self._render_window_auto(cg, nb, mesh, n_dev, is_scan=True)
             self.fb.advance_blocks(nb)
             left -= nb
         cg.apply_scan_normalize_vertices()
@@ -570,13 +612,13 @@ class State:
             chunks.append(ints)
 
         left = self.cs
-        step = render_chunk_blocks(self.cs)
+        mesh, n_dev, step = self._mesh_plan()
         # pin bake-table caps from the full known schedule so every window
         # below produces the same table layout (no per-window jit variants)
         cg.seed_caps(self.fb, self.cs, step)
         while left > 0:
-            nb = min(left, step)
-            win = cg.render_window(self.fb, nb)
+            nb = self._pick_nb(left, step, n_dev)
+            win = self._render_window_auto(cg, nb, mesh, n_dev)
             self.fb.advance_blocks(nb)
             left -= nb
             finish(rs.feed(win) if rs is not None else win)

@@ -54,6 +54,35 @@ def test_example_renders(name, assets, tmp_path):
     assert np.max(np.abs(audio)) > 1e-4, "example rendered silence"
 
 
+@pytest.mark.parametrize(
+    "name", ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
+)
+def test_example_matches_golden(name, assets, tmp_path):
+    """Renders must match the committed goldens (tools/make_goldens.py)
+    within a backend-tolerant bound — catches semantic regressions
+    without the per-frame oracle. Goldens are CPU renders; the tolerance
+    absorbs TPU-vs-CPU f32 transcendental differences (sin_f32 ~-120
+    dBFS, biquad cascade ~3e-5) with a full decade of margin."""
+    import math
+
+    from termdaw_tpu.fileio.wav import read_wav
+    from tools.make_goldens import GOLDEN_BLOCKS, GOLDEN_TOL_DBFS
+
+    st = _load(name)
+    st.cs = GOLDEN_BLOCKS
+    st.output_file = str(tmp_path / "out.wav")
+    st.render()
+    got, _ = read_wav(tmp_path / "out.wav", scale=True)
+    want, _ = read_wav(REPO / "tests" / "goldens" / f"{name}.wav", scale=True)
+    assert got.shape == want.shape
+    err = float(np.max(np.abs(got - want)))
+    err_dbfs = 20.0 * math.log10(max(err, 1e-12))
+    assert err_dbfs <= GOLDEN_TOL_DBFS, (
+        f"{name}: render deviates {err_dbfs:.1f} dBFS from golden "
+        f"(bound {GOLDEN_TOL_DBFS})"
+    )
+
+
 def test_stream_example_plays_packets(assets):
     """The stream example consumes generated packets and produces audio."""
     from termdaw_tpu.fileio.packets import encode_events, PacketDecoder

@@ -70,3 +70,29 @@ def test_sharded_biquad_cascade_8dev():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_mesh_default_render_8dev():
+    """On a multi-device host, State.render/scan route through the device
+    mesh BY DEFAULT (TERMDAW_MESH=0 opts out) and match the single-device
+    render; scrubbed 8-virtual-device CPU subprocess."""
+    import os
+    import subprocess
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["TERMDAW_COLOR"] = "0"
+    env.pop("TERMDAW_MESH", None)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tests" / "subproc" /
+                             "mesh_default_check.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK mesh-default" in proc.stdout

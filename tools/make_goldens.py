@@ -1,0 +1,53 @@
+"""Regenerate the committed golden renders for the shipped examples.
+
+    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/make_goldens.py
+
+Each golden is the first GOLDEN_BLOCKS blocks of the example's render
+(16-bit WAV), committed under tests/goldens/. tests/test_examples.py
+compares fresh renders against them within GOLDEN_TOL_DBFS — loose enough
+for backend-level f32 differences (TPU vs CPU transcendentals, the biquad
+cascade), tight enough to catch any semantic regression. Regenerate ONLY
+when a render change is intentional and documented.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "examples"))
+
+GOLDEN_BLOCKS = 12
+GOLDEN_TOL_DBFS = -80.0
+EXAMPLES = ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
+
+
+def render_example(name: str, out_path: Path) -> None:
+    from termdaw_tpu.config import Config
+    from termdaw_tpu.engine.state import State
+
+    wdir = REPO / "examples" / name
+    st = State(Config.read(wdir / "project.toml"), str(wdir))
+    st.refresh()
+    assert st.loaded, name
+    st.cs = GOLDEN_BLOCKS
+    st.output_file = str(out_path)
+    st.render()
+
+
+def main() -> None:
+    import _gen
+
+    _gen.ensure()
+    gdir = REPO / "tests" / "goldens"
+    gdir.mkdir(exist_ok=True)
+    for name in EXAMPLES:
+        out = gdir / f"{name}.wav"
+        render_example(name, out)
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
