@@ -28,6 +28,12 @@ class Player:
         self.millis_generated = 0.0
         self.resync_fb_each_block = False  # stream workflow turns this on
 
+    # blocks rendered and queued BEFORE the wall clock starts: absorbs
+    # per-window dispatch+fetch latency spikes so the instantaneous
+    # deficit stays bounded (~341 ms of audio at 48k/1024; measured
+    # tunnel hiccups reach ~300 ms against an unbuffered start)
+    PREBUFFER_BLOCKS = 16
+
     def play(self) -> None:
         cg = self.state.compiled
         if cg is not None and self.state.cs > 0:
@@ -40,8 +46,14 @@ class Player:
                 render_chunk_blocks(self.state.cs),
             )
         self.playing = True
-        self.since = time.monotonic()
         self.millis_generated = 0.0
+        if cg is not None and self.PREBUFFER_BLOCKS > 0:
+            nb = self.PREBUFFER_BLOCKS
+            audio = cg.render_window(self.state.fb, nb)
+            self.state.fb.advance_blocks(nb)
+            self.sink.queue_audio(np.asarray(audio).reshape(-1))
+            self.millis_generated += nb * self.buffer_len / self.proj_sr * 1e3
+        self.since = time.monotonic()
         self.sink.resume()
 
     def pause(self) -> None:
@@ -66,7 +78,7 @@ class Player:
     # in one device call (each call costs a fixed sync round-trip on the
     # TPU tunnel, so block-at-a-time rendering can't keep up at 48kHz);
     # powers of two keep the jit cache small
-    _WINDOWS = (16, 8, 4, 2, 1)
+    _WINDOWS = (32, 16, 8, 4, 2, 1)
 
     def tick(self) -> int:
         """Render as many blocks as wall-clock pacing demands.

@@ -181,11 +181,45 @@ def resample_device(x: jnp.ndarray, from_sr: int, to_sr: int) -> jnp.ndarray:
 
 
 def resample_sample(x: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
-    """Host in/out wrapper (sample-import path, reference sample.rs:305-310)."""
+    """Sample-import resample (reference sample.rs:305-310), computed ON
+    THE HOST with the same oversampled-bank + linear-interpolation recipe
+    as rubato's SincFixedIn (and this module's device gather path).
+
+    Host, deliberately: imports are a refresh-time one-shot per sample, and
+    on the dev harness's remote-PJRT tunnel a device round-trip here both
+    wastes ~100 ms per sample and — measured — permanently degrades every
+    SUBSEQUENT dispatch in the process (the tunnel's first synchronous
+    device->host fetch switches it out of pipelined dispatch; see
+    docs/perf.md). float64 accumulation over the 256 taps, rounded once.
+    """
     x = np.asarray(x, dtype=np.float32)
     if from_sr == to_sr:
         return x
-    return np.asarray(resample_device(jnp.asarray(x), from_sr, to_sr))
+    n = x.shape[0]
+    c = x.shape[1]
+    n_out = _n_out(n, from_sr, to_sr)
+    half = SINC_LEN // 2
+    xpad = np.zeros((n + SINC_LEN, c), np.float64)
+    xpad[half - 1 : half - 1 + n] = x
+    bank = filter_bank((from_sr, to_sr)).astype(np.float64)
+    out = np.empty((n_out, c), np.float32)
+    tile = 16384
+    taps = np.arange(SINC_LEN)
+    for t0 in range(0, n_out, tile):
+        nn = np.arange(t0, min(t0 + tile, n_out))
+        num = nn * from_sr
+        int_pos = num // to_sr
+        frac = (num % to_sr) / float(to_sr)
+        idx = np.clip(int_pos[:, None] + taps[None, :], 0, len(xpad) - 1)
+        windows = xpad[idx]  # [T, taps, C]
+        pf = frac * OVERSAMPLE
+        p0 = np.floor(pf).astype(np.int64)
+        w = (pf - p0)[:, None]
+        filt = bank[p0] * (1.0 - w) + bank[p0 + 1] * w
+        out[t0 : t0 + len(nn)] = np.einsum(
+            "tjc,tj->tc", windows, filt
+        ).astype(np.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
