@@ -444,6 +444,16 @@ class CompiledGraph:
         count); idempotent; leaves graph/floww state untouched. Call
         whenever the schedule may have grown (render start, stream
         append)."""
+        # pin the frame->seconds table to the full song length too: its
+        # power-of-2-rounded shape rides the jit trace signature, so letting
+        # it grow window-by-window (2^19 -> 2^20 -> 2^21 over a 40 s render)
+        # mints a fresh compiled program per size bracket even though the
+        # window size never changed
+        if total_blocks > 0:
+            self._ttab_min_frames = max(
+                getattr(self, "_ttab_min_frames", 0),
+                total_blocks * self.bl,
+            )
         if total_blocks <= 0 or not self.carries:
             return
         fused = self.use_pallas if fused is None else fused
@@ -554,7 +564,10 @@ class CompiledGraph:
         bakes, new_carries = self._bake_all(fb, t0, nb, fused=self.use_pallas)
         ints_buf, floats_buf, layout = _pack_bakes(bakes)
         fx_vec, fx_layout = self._pack_fx()
-        ttab = time_table(self.sr, t0 + nb * self.bl)
+        ttab = time_table(
+            self.sr,
+            max(t0 + nb * self.bl, getattr(self, "_ttab_min_frames", 0)),
+        )
 
         fn = self._get_fn(nb, is_scan, layout, fx_layout)
         filters._EXACT_BIQUAD_OVERRIDE = self.exact_biquad
@@ -650,7 +663,13 @@ class CompiledGraph:
         for vkey, name, pos in fx_layout:
             fx_params.setdefault(vkey, {})[name] = np.float32(fx_vec[pos])
 
-        ttab_len = int(time_table(self.sr, t0 + nb_total * self.bl).shape[0])
+        ttab_len = int(
+            time_table(
+                self.sr,
+                max(t0 + nb_total * self.bl,
+                    getattr(self, "_ttab_min_frames", 0)),
+            ).shape[0]
+        )
         key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout,
                ttab_len)
         if key not in self._jit_cache:
@@ -686,7 +705,11 @@ class CompiledGraph:
             tuple(self.wavetables),
             fx_params,
             jnp.int32(t0),
-            time_table(self.sr, t0 + nb_total * self.bl),
+            time_table(
+                self.sr,
+                max(t0 + nb_total * self.bl,
+                    getattr(self, "_ttab_min_frames", 0)),
+            ),
         )
         self.num_state = new_state
         self.carries.update(new_carries)
@@ -971,7 +994,9 @@ class CompiledGraph:
                     fx_params, t0, nb=nb, is_scan=is_scan, ttab=ttab,
                 )
 
-            self._jit_cache[key] = jax.jit(packed)
+            from ..utils.aotcache import AotProgram
+
+            self._jit_cache[key] = AotProgram(jax.jit(packed), repr(key))
         return self._jit_cache[key]
 
     def _fused_mix(

@@ -174,6 +174,35 @@ class TestStableLayouts:
                 assert tbl["idx"].shape[1] <= 2
 
 
+class TestTimeTablePinned:
+    def test_one_ttab_shape_across_all_windows(self, tmp_path):
+        """seed_caps pins the frame->seconds table to the full song length:
+        every window then passes the SAME pow2-rounded table shape to jit
+        (before the fix, a long render walked 2^k brackets and minted one
+        program per bracket despite identical window sizes)."""
+        from termdaw_tpu.graph.compile import time_table
+
+        st = _make_state(tmp_path, length_sec=4.0)
+        cg = st.compiled
+        step = 8  # force several windows whose end frames straddle pow2s
+        cg.seed_caps(st.fb, st.cs, step)
+        assert cg._ttab_min_frames == st.cs * cg.bl
+        shapes = set()
+        left, t = st.cs, 0
+        while left > 0:
+            nb = min(left, step)
+            shapes.add(int(time_table(
+                cg.sr, max(t + nb * cg.bl, cg._ttab_min_frames)
+            ).shape[0]))
+            t += nb * cg.bl
+            left -= nb
+        assert len(shapes) == 1
+        # unpinned, the same walk spans more than one bracket (the bug)
+        raw = {int(time_table(cg.sr, e).shape[0])
+               for e in (8 * cg.bl, st.cs * cg.bl)}
+        assert len(raw) == 2
+
+
 class TestSeedCapsPreservesState:
     def test_fb_cursor_and_carries_untouched(self, tmp_path):
         st = _make_state(tmp_path)
