@@ -32,6 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128  # Mosaic requires lane-dim DMA offsets aligned to the tiling
 
+# The three scalar-prefetch tables ([nb, P] each: begins + L/R amps) live
+# in SMEM, which is 1 MB on v5e, PADDED to 8 sublanes x 128 lanes: each
+# costs roundup(nb,8) * roundup(P,128) * 4 bytes (measured: [1875,16]
+# tables allocate 940 KB apiece, 3x over budget, failing compile with an
+# opaque "Ran out of memory in memory space smem" error — long windows or
+# >128-voice polyphony both get there). Above this budget the wrapper
+# splits the block axis across several pallas_calls instead; output is
+# identical (blocks are independent in this kernel).
+_SMEM_BUDGET_BYTES = 900 * 1024
+
+
+def _prefetch_bytes(nb: int, P: int) -> int:
+    return 3 * -(-nb // 8) * 8 * -(-P // 128) * 128 * 4
+
 
 def _voice_mix_kernel(
     begins_ref,  # scalar-prefetch [nb, P] int32 (begin index into padded)
@@ -73,9 +87,6 @@ def _voice_mix_kernel(
         out_ref[:] = out_ref[:] + window * amp
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nb", "bl", "interpret")
-)
 def sample_multi_pallas_stereo(
     sample_padded: jnp.ndarray,  # [2, Lpad] float32 (see make_padded_sample)
     begins: jnp.ndarray,         # [nb, P] int32, pre-clamped in-bounds
@@ -92,6 +103,33 @@ def sample_multi_pallas_stereo(
     (mix.post, linear per channel) folds into its voices' amps, so a
     64-track mix is one invocation instead of 64 (graph/compile.py
     fused groups)."""
+    P = begins.shape[1]
+    nb_max = nb
+    while nb_max > 1 and _prefetch_bytes(nb_max, P) > _SMEM_BUDGET_BYTES:
+        nb_max = -(-nb_max // 2)
+    if nb > nb_max:
+        # split the block axis to keep the SMEM prefetch tables in budget;
+        # blocks are independent, so concatenation is exact
+        parts = []
+        for b0 in range(0, nb, nb_max):
+            n = min(nb_max, nb - b0)
+            parts.append(_pallas_one_call(
+                sample_padded, begins[b0:b0 + n], vels_l[b0:b0 + n],
+                vels_r[b0:b0 + n], n, bl, interpret,
+            ))
+        return jnp.concatenate(parts, axis=0)
+    return _pallas_one_call(
+        sample_padded, begins, vels_l, vels_r, nb, bl, interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "bl", "interpret")
+)
+def _pallas_one_call(
+    sample_padded, begins, vels_l, vels_r, nb: int, bl: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
     P = begins.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

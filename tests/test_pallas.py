@@ -42,6 +42,34 @@ def test_pallas_voice_mixer_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_smem_chunking_exact(rng, monkeypatch):
+    """Above the SMEM prefetch budget the wrapper splits the block axis
+    across several pallas_calls; the result must be bit-identical to the
+    single-call kernel (blocks are independent)."""
+    from termdaw_tpu.ops import pallas_voices as pv
+
+    nb, bl, L, P = 6, 128, 400, 4
+    sample = rng.normal(size=(L, 2)).astype(np.float32)
+    drum = DrumBake(
+        frames=np.asarray([0, 60, 150, 300, 500, 640], np.int64),
+        notes=np.full(6, 36.0, np.float32),
+        vels=rng.uniform(0.3, 1.0, 6).astype(np.float32),
+    )
+    tbl, _ = bake_sample_multi(drum, MultiCarry(), 0, nb, bl, L,
+                               {"p": P, "n": 8})
+    bake = {k: jnp.asarray(v) for k, v in tbl.items()}
+    frames = jnp.arange(nb * bl, dtype=jnp.int32)
+    padded = make_padded_sample(jnp.asarray(sample), bl)
+    begins, vels = compute_begin_vel(bake, frames[0], nb, bl, L)
+    one = sample_multi_pallas(padded, begins, vels, nb, bl, interpret=True)
+    # force chunking: budget of one block's tables -> 6 separate calls
+    monkeypatch.setattr(pv, "_SMEM_BUDGET_BYTES", 12 * begins.shape[1])
+    chunked = sample_multi_pallas(
+        padded, begins, vels, nb, bl, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
+
+
 def test_pallas_empty_blocks(rng):
     nb, bl, L = 2, 128, 64
     sample = rng.normal(size=(L, 2)).astype(np.float32)
