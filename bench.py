@@ -376,6 +376,12 @@ def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
 
 
 def main() -> None:
+    # the engine's own status prints (refresh/render chatter) write to
+    # stdout; the bench contract is ONE json line there, so route
+    # everything else through stderr for the duration
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
     length_sec = float(os.environ.get("BENCH_LENGTH_SEC", "40"))
     sr, bl = 48000, 1024
     reps = int(os.environ.get("BENCH_REPS", "5"))
@@ -444,8 +450,8 @@ def main() -> None:
         else 0.0,
         "extra": extra,
     }
-    print(json.dumps(result))
-    sys.stdout.flush()
+    print(json.dumps(result), file=real_stdout)
+    real_stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # skip teardown: a stall-orphaned fetch thread would abort
 

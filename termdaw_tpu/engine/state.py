@@ -467,6 +467,7 @@ class State:
         self.compiled = CompiledGraph(
             self.g, self.sb, wavetables, self.host,
             self.config.settings.buffer_length, psr,
+            cap_scope=str(self.wdir),
         )
         self.compiled.reset_normalize_vertices()
         print(f"{GREEN}Ok: refreshed.{DEFAULT}")

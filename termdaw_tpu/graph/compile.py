@@ -169,10 +169,17 @@ class CompiledGraph:
         plugin_host,
         bl: int,
         sr: int,
+        cap_scope: str = "",
     ) -> None:
         self.graph = graph
         self.bl = bl
         self.sr = sr
+        # cap-stickiness scope: caps persist across refreshes of the SAME
+        # project (keyed by its working dir), not across unrelated projects
+        # built in one process — cross-project leakage would pad another
+        # project's bake layouts and change its compiled-program identity
+        # vs a fresh process (defeating the on-disk AOT executable cache)
+        self.cap_scope = cap_scope
         self.plugin_host = plugin_host
         self.order = graph.topo_order()
         self.in_edges = [list(e) for e in graph.in_edges]
@@ -384,11 +391,11 @@ class CompiledGraph:
         self.bake_caps: dict[str, dict[str, int]] = {}
         for vi in self.order:
             st = self.statics[vi]
-            hw = _CAP_HWM.get((graph.names[vi], st.kind))
+            hw = _CAP_HWM.get((self.cap_scope, graph.names[vi], st.kind))
             if hw:
                 self.bake_caps[str(vi)] = dict(hw)
         for c in self.fused_groups:
-            hw = _CAP_HWM.get((graph.names[c], "fused"))
+            hw = _CAP_HWM.get((self.cap_scope, graph.names[c], "fused"))
             if hw:
                 self.bake_caps[f"fused{c}"] = dict(hw)
 
@@ -782,7 +789,9 @@ class CompiledGraph:
                 continue
             bakes[key] = tbl  # numpy; upload happens packed (see _pack_bakes)
             new_carries[vi] = nc
-            self._record_caps(key, (names[vi], st.kind), st.kind, tbl)
+            self._record_caps(
+                key, (self.cap_scope, names[vi], st.kind), st.kind, tbl
+            )
         if fused:
             for consumer, members in self.fused_groups.items():
                 srcs, group_carries = self._bake_fused_group(
@@ -792,8 +801,8 @@ class CompiledGraph:
                 tbl = self._merge_group(srcs, consumer, members, t0, nb)
                 bakes[f"fused{consumer}"] = tbl
                 self._record_caps(
-                    f"fused{consumer}", (names[consumer], "fused"), "fused",
-                    tbl,
+                    f"fused{consumer}",
+                    (self.cap_scope, names[consumer], "fused"), "fused", tbl,
                 )
         return bakes, new_carries
 
