@@ -33,6 +33,14 @@ class Player:
     # deficit stays bounded (~341 ms of audio at 48k/1024; measured
     # tunnel hiccups reach ~300 ms against an unbuffered start)
     PREBUFFER_BLOCKS = 16
+    # lead (in blocks) that tick() MAINTAINS while playing. The reference
+    # paces to a 0.5 ms lead (ui_workflow.rs:200-201), which on this
+    # tunnel lets the prebuffer erode to zero and a single slow dispatch
+    # then starves the sink (measured spikes ~250 ms). Rendering while
+    # the queued lead is below this many blocks keeps the prebuffer's
+    # margin for the whole session; audio sits in the sink queue, so the
+    # worst instantaneous deficit is (spike - lead) instead of (spike).
+    LEAD_BLOCKS = 16
 
     def play(self) -> None:
         cg = self.state.compiled
@@ -102,7 +110,8 @@ class Player:
             if not self.playing:
                 break
             elapsed_ms = (time.monotonic() - self.since) * 1000.0
-            deficit_ms = elapsed_ms - (self.millis_generated - 0.5)
+            lead_ms = self.LEAD_BLOCKS * block_ms
+            deficit_ms = elapsed_ms - (self.millis_generated - lead_ms)
             if deficit_ms <= 0:
                 break
             want = max(1, int(deficit_ms / block_ms) + 1)

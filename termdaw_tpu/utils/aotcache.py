@@ -82,6 +82,14 @@ def args_signature(args) -> tuple:
 
 
 def _entry_path(key_repr: str, sig: tuple) -> Path | None:
+    # CPU-backend executables embed host machine features the fingerprint
+    # cannot see (XLA logs "could lead to SIGILL" when loading an entry
+    # from a different x86 feature set), and CPU compiles are cheap —
+    # keep the disk AOT cache for accelerator backends only.
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return None
     d = cache_dir()
     if d is None:
         return None

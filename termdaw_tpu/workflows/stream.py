@@ -66,6 +66,11 @@ def run_stream_workflow(
 
     player = Player(state, sink, proj_sr, buffer_len)
     player.resync_fb_each_block = True
+    # live mode: the rendering lead is audible latency for incoming
+    # events (an event lands behind `lead` ms of already-queued audio),
+    # so trade underrun margin for responsiveness (~85 ms at 48k/1024)
+    player.PREBUFFER_BLOCKS = 4
+    player.LEAD_BLOCKS = 4
     if state.loaded:
         player.play()
     else:
