@@ -110,6 +110,27 @@ class TestUiWorkflow:
         assert sink.frames_queued >= 3 * BL
         assert st.compiled.get_time() == sink.frames_queued
 
+    def test_tick_maintains_lead(self, tmp_path):
+        """tick() keeps LEAD_BLOCKS of generated audio ahead of the wall
+        clock (manual deviation 11), so a dispatch spike eats queued
+        margin instead of starving the sink."""
+        import time as _time
+
+        from termdaw_tpu.engine.player import Player
+
+        st = tone_project(tmp_path, tmp_path / "o.wav")
+        p = Player(st, NullSink(SR), SR, BL)
+        block_ms = BL / SR * 1000.0
+        lead_ms = p.LEAD_BLOCKS * block_ms
+        p.play()
+        p.since = _time.monotonic() - 0.5  # pretend 500ms elapsed
+        p.tick()
+        elapsed_ms = (_time.monotonic() - p.since) * 1000.0
+        # generated must sit a full lead (minus sub-block slack) ahead
+        assert p.millis_generated - elapsed_ms >= lead_ms - 2 * block_ms
+        # and pacing must not run away: at most one catch-up window over
+        assert p.millis_generated - elapsed_ms <= lead_ms + 32 * block_ms
+
 
 class TestStreamWorkflow:
     def test_stream_events_render(self, tmp_path):
