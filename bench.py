@@ -410,10 +410,12 @@ def main() -> None:
         try:
             log(f"building {name}...")
             states[name] = build(tmp / name, length_sec, sr, bl)
+            # full reps + spread guard for EVERY config: chip renders cost
+            # milliseconds, and a 2-rep median recorded a 2x-degraded c4
+            # in one capture (1070x vs 2276x isolated)
             chip = measure_chip(
-                states[name], length_sec,
-                reps if name == "c1" else max(2, reps // 2), name, extra,
-                spread_guard=(name == "c1"),
+                states[name], length_sec, reps, name, extra,
+                spread_guard=True,
             )
             if name == "c1":
                 chip1 = chip
