@@ -54,15 +54,20 @@ class Player:
                 render_chunk_blocks(self.state.cs),
             )
         self.playing = True
+        self._restart_pacing()
+        self.sink.resume()
+
+    def _restart_pacing(self) -> None:
+        """Reset the pacing epoch and queue the prebuffer lead."""
+        cg = self.state.compiled
         self.millis_generated = 0.0
         if cg is not None and self.PREBUFFER_BLOCKS > 0:
             nb = self.PREBUFFER_BLOCKS
             audio = cg.render_window(self.state.fb, nb)
             self.state.fb.advance_blocks(nb)
             self.sink.queue_audio(np.asarray(audio).reshape(-1))
-            self.millis_generated += nb * self.buffer_len / self.proj_sr * 1e3
+            self.millis_generated = nb * self.buffer_len / self.proj_sr * 1e3
         self.since = time.monotonic()
-        self.sink.resume()
 
     def pause(self) -> None:
         self.playing = False
@@ -81,6 +86,11 @@ class Player:
         if self.state.compiled is not None:
             self.state.compiled.set_time(t_frames)
         self.state.fb.set_time(t_frames)
+        if self.playing:
+            # clear() discarded the queued lead; without re-prebuffering,
+            # playback would continue just-in-time on an empty queue and
+            # every dispatch spike from here on would underrun
+            self._restart_pacing()
 
     # window sizes for catch-up batching: a deficit of many blocks renders
     # in one device call (each call costs a fixed sync round-trip on the

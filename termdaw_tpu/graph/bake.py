@@ -388,11 +388,15 @@ def bake_notes(
     # per-note current-phase fold anchors within THIS window:
     # (ads_k, ads_val) while held, (rel_k, rel_val) once released.
     # Carried notes anchor at block 0 with the carried clock value.
+    # off_f is set iff a release was CAPTURED as rel_t != 0.0: the
+    # reference's held sentinel is rel_t == 0.0 (extensions.rs:504), so
+    # a zero-length note (ON and OFF in one frame) captures exactly 0.0
+    # and stays in ADS phase — see the release branch below.
     ads_anchor: list[tuple[int, float] | None] = [
-        (0, n.env_t) if n.rel_t == 0.0 else None for n in notes
+        (0, n.env_t) if n.off_f is None else None for n in notes
     ]
     rel_anchor: list[tuple[int, float] | None] = [
-        (0, n.env_t) if n.rel_t != 0.0 else None for n in notes
+        (0, n.env_t) if n.off_f is not None else None for n in notes
     ]
     for f, on, note, vel in zip(simple.frames, simple.ons, simple.notes,
                                 simple.vels):
@@ -418,20 +422,41 @@ def bake_notes(
                     inst.dead_f = f
             # release the held same-pitch notes (extensions.rs:486-494):
             # rel_t = f32(env_t + i/sr); the clock resets to -(i/sr)
+            pending: list[tuple[NoteInst, tuple[int, float]]] = []
             for j, inst in enumerate(notes):
                 if inst.dead_f <= f:
                     continue
                 if abs(inst.note - note) <= 0.001 and inst.off_f is None:
-                    inst.off_f = f
                     ak, av = ads_anchor[j]
                     t_ads = clock_fold(av, kb - ak + 1, delta)[kb - ak]
-                    inst.rel_t = float(
-                        np.float32(t_ads + f32_div(i_in, sr))
-                    )
+                    rel = float(np.float32(t_ads + f32_div(i_in, sr)))
+                    if rel == 0.0:
+                        # reference quirk (extensions.rs:485-494, 504):
+                        # rel_t == 0.0 IS the held sentinel, so a capture
+                        # of exactly 0.0 (a zero-length note: ON and OFF
+                        # in the same frame) leaves the note in ADS phase
+                        # forever, with its env clock restarted at
+                        # -(i/sr). A single table row cannot hold two ADS
+                        # clocks within one block, so represent the
+                        # restart as: old instance stops at f, fresh ADS
+                        # instance starts at f — output-identical.
+                        inst.dead_f = f
+                        anchor = float(-f32_div(i_in, sr))
+                        pending.append((
+                            NoteInst(inst.note, inst.vel, f, env_t=anchor),
+                            (kb, anchor),
+                        ))
+                        continue
+                    inst.off_f = f
+                    inst.rel_t = rel
                     rv = -f32_div(i_in, sr)
                     rel_anchor[j] = (kb, float(rv))
                     kd = _rel_dead_block(rv, kb, release_sec, delta)
                     inst.dead_f = t0 + kd * bl
+            for ni, anch in pending:
+                notes.append(ni)
+                ads_anchor.append(anch)
+                rel_anchor.append(None)
     # per-(block, instance) clock tables: the kernel adds f32(i/sr) per
     # in-block frame (reference extensions.rs:501-506)
     n = len(notes)

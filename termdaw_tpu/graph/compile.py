@@ -973,6 +973,26 @@ class CompiledGraph:
                 "vel": np.zeros((nb, w), np.float32),
                 "member": np.zeros((nb, w), np.int32),
             }
+        if self.voice_cap is not None:
+            # TERMDAW_VOICE_CAP applies PER MEMBER VERTEX, same policy as
+            # block_table's oldest-voice steal: within each (block,
+            # member) keep only the NEWEST voice_cap voices. (kk, pp) is
+            # row-major with pp in member-major trigger order, so the
+            # (block, member) key is sorted and newest = highest pos.
+            gm = mid[pp].astype(np.int64)
+            gkey = kk.astype(np.int64) * len(members) + gm
+            first = np.searchsorted(gkey, gkey, "left")
+            last = np.searchsorted(gkey, gkey, "right")
+            pos_in = np.arange(len(kk)) - first
+            keep = pos_in >= (last - first) - self.voice_cap
+            kk, pp = kk[keep], pp[keep]
+            if not len(kk):
+                w = max(caps.get("pf", 1), 1)
+                return {
+                    "begins": np.zeros((nb, w), np.int32),
+                    "vel": np.zeros((nb, w), np.float32),
+                    "member": np.zeros((nb, w), np.int32),
+                }
         b = np.clip(off[kk, pp] + bl, 0, slen[pp] + bl) + base[pp]
         counts = np.bincount(kk, minlength=nb)
         pf = B._capped(int(counts.max()), caps.get("pf"))

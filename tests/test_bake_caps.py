@@ -51,6 +51,24 @@ class TestBlockTableCaps:
         assert kept == {3, 4}  # newest voices survive; oldest stolen
 
 
+class TestClockFold:
+    def test_cumsum_matches_sequential_f32_fold(self):
+        """The whole f32-parity scheme rests on np.cumsum(dtype=float32)
+        accumulating in the same order as the reference's sequential
+        `t = f32(t + delta)` fold (extensions.rs:526-527). That is an
+        implementation property of numpy's add.accumulate — pin it."""
+        for sr, bl in ((48000, 1024), (44100, 256), (8000, 256)):
+            delta = B.f32_div(bl, sr)
+            for start in (np.float32(0.0), -B.f32_div(500, sr),
+                          np.float32(123.456)):
+                n = 4000
+                got = B.clock_fold(start, n, delta)
+                t = np.float32(start)
+                for j in range(n):
+                    assert got[j] == t, (sr, bl, float(start), j)
+                    t = np.float32(t + delta)
+
+
 class TestCapped:
     def test_capped_floor_and_growth(self):
         assert B._capped(3, None) == 4
@@ -69,7 +87,7 @@ def _make_state(tmp_path, n_tracks=6, length_sec=4.0, sr=8000, bl=256,
     from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
 
     d = tmp_path / "proj"
-    d.mkdir()
+    d.mkdir(exist_ok=True)
     _drum(d / "hit.wav", sr, 0.05, 300.0, 30.0)
     lines = [
         f"set_length({length_sec});",
@@ -134,13 +152,14 @@ class TestStableLayouts:
         assert len(layouts) == n_window_sizes  # one layout per window size
 
     def test_program_cache_fixed_over_randomized_schedules(self, tmp_path):
-        """Many randomized schedules on the same graph shape -> the packed
+        """Many randomized schedules of the SAME project -> the packed
         layout set stays fixed once caps are seeded (jit keys = layouts,
-        so the program cache cannot grow)."""
+        so the program cache cannot grow). Cap stickiness is scoped per
+        project dir, so every rebuild uses the same dir — the real
+        refresh/stream-append story."""
         layouts = set()
         for seed in range(4):
-            (tmp_path / f"s{seed}").mkdir()
-            st = _make_state(tmp_path / f"s{seed}", seed=seed)
+            st = _make_state(tmp_path, seed=seed)
             cg = st.compiled
             st.fb.set_time(0)
             step = render_chunk_blocks(st.cs)
@@ -172,6 +191,62 @@ class TestStableLayouts:
         for key, tbl in bakes.items():
             if "idx" in tbl:
                 assert tbl["idx"].shape[1] <= 2
+
+    @staticmethod
+    def _dense_events(st, n_per_track=10, burst_sec=0.04):
+        """Overwrite every stream with one dense burst so each member's
+        natural per-block polyphony far exceeds a cap of 2."""
+        for i, name in enumerate(st.fb.names):
+            times = (0.5 + np.linspace(0, burst_sec, n_per_track)).astype(
+                np.float32
+            )
+            st.fb.flowws[i] = np.stack(
+                [np.zeros(n_per_track, np.float32), times,
+                 np.full(n_per_track, 36.0, np.float32),
+                 np.full(n_per_track, 0.8, np.float32)], axis=1,
+            )
+        st.fb.version += 1  # invalidate the event-frame / pool caches
+
+    @staticmethod
+    def _fused_member_counts(st):
+        """Max live-voice count over (block, member) cells of every fused
+        group table in the first window."""
+        cg = st.compiled
+        assert cg.fused_groups, "fused groups must form for this test"
+        st.fb.set_time(0)
+        step = render_chunk_blocks(st.cs)
+        cg.seed_caps(st.fb, st.cs, step)
+        bakes, _ = cg._bake_all(st.fb, 0, min(st.cs, step), fused=True)
+        fkeys = [k for k in bakes if k.startswith("fused")]
+        assert fkeys
+        worst = 0
+        for k in fkeys:
+            begins = np.asarray(bakes[k]["begins"])
+            member = np.asarray(bakes[k]["member"])
+            live = begins > 0
+            for kb in range(begins.shape[0]):
+                for m in np.unique(member[kb][live[kb]]):
+                    worst = max(worst, int(np.sum(
+                        live[kb] & (member[kb] == m)
+                    )))
+        return worst
+
+    def test_voice_cap_steals_on_fused_path(self, tmp_path, monkeypatch):
+        """TERMDAW_VOICE_CAP must bound the fused Pallas path's merged
+        voice table too (per member vertex, oldest-steal), not just the
+        per-vertex block tables."""
+        monkeypatch.setenv("TERMDAW_PALLAS_INTERPRET", "1")
+        # precondition: uncapped, some (block, member) cell exceeds 2
+        (tmp_path / "nocap").mkdir()
+        st0 = _make_state(tmp_path / "nocap")
+        self._dense_events(st0)
+        assert self._fused_member_counts(st0) > 2
+        monkeypatch.setenv("TERMDAW_VOICE_CAP", "2")
+        (tmp_path / "cap").mkdir()
+        st = _make_state(tmp_path / "cap")
+        self._dense_events(st)
+        assert st.compiled.voice_cap == 2
+        assert self._fused_member_counts(st) == 2
 
 
 class TestTimeTablePinned:

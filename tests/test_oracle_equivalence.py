@@ -178,6 +178,45 @@ class TestOracleEquivalence:
         expect = O.oracle_render(verts, [], "v", {"ev": fl}, SR, BL, N_BLOCKS)
         compare(got, expect, 2e-3)
 
+    def test_synth_zero_length_note(self, tmp_path, rng, sample):
+        """A note whose ON and OFF land in the same frame captures
+        rel_t == 0.0 — the reference's held sentinel — so it stays in
+        ADS phase with a restarted clock and only a LATER off releases
+        it (extensions.rs:485-494, 504). Exercises the bake's re-held
+        representation across window boundaries."""
+        ev = np.asarray(
+            [
+                (0.0, 0.05, 48.0, 0.8),   # on
+                (0.0, 0.05, 48.0, 0.0),   # off in the SAME frame
+                (0.0, 0.10, 55.0, 0.7),   # unrelated normal note
+                (0.0, 0.35, 55.0, 0.0),
+                (0.0, 0.60, 48.0, 0.0),   # releases the re-held note
+            ],
+            np.float32,
+        )
+        hit = "{0.005, 0.02, 0.3, 0.05, 0.2, 0.1}"
+        note = "{0.01, 0.05, 0.8, 0.5, 0.4, 0.15}"
+        st = build_state(
+            tmp_path, sample, ev,
+            f'add_synth("v", 0.7, 0.0, "ev", 0.5, 0.4, {hit}, '
+            f'0.8, 0.6, {note}, 0.3, {note});\nset_output("v");',
+        )
+        got = engine_audio(st)
+        fl = O.OracleFloww(ev, SR, BL)
+        hit9 = O.hit6([0.005, 0.02, 0.3, 0.05, 0.2, 0.1])
+        note9 = O.hit6([0.01, 0.05, 0.8, 0.5, 0.4, 0.15])
+        verts = {
+            "v": O.Synth(
+                "ev", (0.5, 0.4, hit9), (0.8, 0.6, note9), (0.3, 0.0, note9),
+                gain=0.7,
+            )
+        }
+        expect = O.oracle_render(verts, [], "v", {"ev": fl}, SR, BL, N_BLOCKS)
+        # the re-held note must still be sounding mid-song (it never
+        # decays) — guard that the scenario actually triggered
+        assert np.max(np.abs(expect[len(expect) // 2:])) > 1e-4
+        compare(got, expect, 2e-3)
+
     @pytest.mark.parametrize("use_off,use_max", [
         (False, True), (False, False), (True, True), (True, False),
     ])

@@ -110,6 +110,28 @@ class TestUiWorkflow:
         assert sink.frames_queued >= 3 * BL
         assert st.compiled.get_time() == sink.frames_queued
 
+    def test_seek_restores_lead(self, tmp_path):
+        """seek() clears the sink queue; while playing it must re-queue
+        the prebuffer and restart the pacing epoch, or playback runs
+        just-in-time with no margin from then on."""
+        from termdaw_tpu.engine.player import Player
+
+        st = tone_project(tmp_path, tmp_path / "o.wav")
+        sink = NullSink(SR)
+        p = Player(st, sink, SR, BL)
+        p.play()
+        p.seek(4 * BL)
+        # clear() empties the (Null)sink queue; seek must refill it with
+        # exactly the prebuffer lead and restart the pacing clock
+        assert sink.frames_queued == p.PREBUFFER_BLOCKS * BL
+        assert p.millis_generated == pytest.approx(
+            p.PREBUFFER_BLOCKS * BL / SR * 1e3
+        )
+        # when stopped, seek must NOT render anything
+        p.stop()
+        p.seek(0)
+        assert sink.frames_queued == 0
+
     def test_tick_maintains_lead(self, tmp_path):
         """tick() keeps LEAD_BLOCKS of generated audio ahead of the wall
         clock (manual deviation 11), so a dispatch spike eats queued

@@ -19,7 +19,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "examples"))
 
-GOLDEN_BLOCKS = 12
+# 96 blocks ~= 2.05 s at 48k/1024: long enough to reach each example's
+# distinguishing content (neg-adsr-env's ducking only departs from the
+# plain kick+pad mix at the SECOND kick hit, t=1.0 s; 12 blocks rendered
+# neg-adsr-env and synth-adsr-fx byte-identical, i.e. covered nothing
+# those examples exist to exercise)
+GOLDEN_BLOCKS = 96
 GOLDEN_TOL_DBFS = -80.0
 EXAMPLES = ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
 
@@ -38,6 +43,8 @@ def render_example(name: str, out_path: Path) -> None:
 
 
 def main() -> None:
+    import numpy as np
+
     import _gen
 
     _gen.ensure()
@@ -47,6 +54,20 @@ def main() -> None:
         out = gdir / f"{name}.wav"
         render_example(name, out)
         print(f"wrote {out}")
+    # guard the guard: every pair of goldens must actually differ, or the
+    # golden window is too short to cover what distinguishes the examples
+    from termdaw_tpu.fileio.wav import read_wav
+
+    audio = {n: read_wav(gdir / f"{n}.wav", scale=True)[0]
+             for n in EXAMPLES}
+    for i, a in enumerate(EXAMPLES):
+        for b in EXAMPLES[i + 1:]:
+            diff = float(np.max(np.abs(audio[a] - audio[b])))
+            assert diff > 1e-3, (
+                f"goldens {a} and {b} are indistinguishable (max diff "
+                f"{diff:.2e}) — raise GOLDEN_BLOCKS"
+            )
+            print(f"  {a} vs {b}: max diff {diff:.3f}")
 
 
 if __name__ == "__main__":
