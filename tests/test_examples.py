@@ -59,15 +59,17 @@ def test_example_renders(name, assets, tmp_path):
 )
 def test_example_matches_golden(name, assets, tmp_path):
     """Renders must match the committed goldens (tools/make_goldens.py)
-    within a backend-tolerant bound — catches semantic regressions
-    without the per-frame oracle. Goldens are CPU renders; the tolerance
-    absorbs TPU-vs-CPU f32 transcendental differences (sin_f32 ~-120
-    dBFS, biquad cascade ~3e-5) with a full decade of margin."""
+    within a backend-tolerant per-example bound — catches semantic
+    regressions (>= -40 dBFS) without the per-frame oracle. Goldens are
+    CPU renders; the fx-chain examples get a looser bound because
+    cross-backend f32 drift accumulates in the feedback effects (see the
+    GOLDEN_TOL_DBFS comment in tools/make_goldens.py)."""
     import math
 
     from termdaw_tpu.fileio.wav import read_wav
     from tools.make_goldens import GOLDEN_BLOCKS, GOLDEN_TOL_DBFS
 
+    tol = GOLDEN_TOL_DBFS[name]
     st = _load(name)
     st.cs = GOLDEN_BLOCKS
     st.output_file = str(tmp_path / "out.wav")
@@ -77,9 +79,9 @@ def test_example_matches_golden(name, assets, tmp_path):
     assert got.shape == want.shape
     err = float(np.max(np.abs(got - want)))
     err_dbfs = 20.0 * math.log10(max(err, 1e-12))
-    assert err_dbfs <= GOLDEN_TOL_DBFS, (
+    assert err_dbfs <= tol, (
         f"{name}: render deviates {err_dbfs:.1f} dBFS from golden "
-        f"(bound {GOLDEN_TOL_DBFS})"
+        f"(bound {tol})"
     )
 
 
