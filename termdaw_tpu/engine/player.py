@@ -43,6 +43,8 @@ class Player:
     LEAD_BLOCKS = 16
 
     def play(self) -> None:
+        if self.playing:
+            return  # a second 'play' must not re-prebuffer / reset pacing
         cg = self.state.compiled
         if cg is not None and self.state.cs > 0:
             # pin bake-table caps to the full known schedule so playback

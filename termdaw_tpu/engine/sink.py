@@ -97,12 +97,26 @@ class AlsaSink(Sink):
     def queue_audio(self, interleaved: np.ndarray) -> None:
         data = np.asarray(interleaved, np.float32)
         frames = len(data) // 2
-        self.lib.snd_pcm_writei(
+        rc = self.lib.snd_pcm_writei(
             self.handle, data.ctypes.data_as(ctypes.c_void_p), frames
         )
+        if rc < 0:
+            # -EPIPE (underrun) / -EBADFD (dropped PCM): recover the
+            # stream and retry once; silently discarding the return code
+            # left playback permanently mute after any underrun
+            self.lib.snd_pcm_recover(self.handle, rc, 1)
+            self.lib.snd_pcm_writei(
+                self.handle, data.ctypes.data_as(ctypes.c_void_p), frames
+            )
 
     def pause(self) -> None:
         self.lib.snd_pcm_drop(self.handle)
+
+    def resume(self) -> None:
+        # pause()/clear() drop the PCM into SETUP state; without a
+        # prepare here every later writei fails -EBADFD and playback
+        # stays silent for the rest of the session
+        self.lib.snd_pcm_prepare(self.handle)
 
     def clear(self) -> None:
         self.lib.snd_pcm_drop(self.handle)

@@ -45,6 +45,16 @@ def _parse_track(data: bytes) -> list[tuple[int, int, int, int, int]]:
     Returns a list of (tick, kind, a, b, channel) where kind is:
     0 = note-off, 1 = note-on, 2 = tempo change (a = microseconds/quarter).
     """
+    try:
+        return _parse_track_inner(data)
+    except IndexError:
+        # a truncated MTrk body reads past the end mid-event; surface it
+        # as MidiError so FlowwBank.add_floww's handler excludes the file
+        # instead of the IndexError crashing refresh()
+        raise MidiError("truncated MIDI track body") from None
+
+
+def _parse_track_inner(data: bytes) -> list[tuple[int, int, int, int, int]]:
     events = []
     pos = 0
     tick = 0

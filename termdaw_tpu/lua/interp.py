@@ -22,11 +22,15 @@ class LuaError(RuntimeError):
 class LuaTable:
     """A Lua table: contiguous 1-based array part + hash part + metatable."""
 
-    __slots__ = ("hash", "metatable")
+    __slots__ = ("hash", "metatable", "_border")
 
     def __init__(self):
         self.hash: dict = {}
         self.metatable: "LuaTable | None" = None
+        # cached array border (largest n with 1..n all present). Kept
+        # incrementally so table.insert-driven array building is O(n)
+        # total, not O(n^2) (length() used to rescan from 1 every call).
+        self._border: int = 0
 
     def get(self, key):
         key = _normalize_key(key)
@@ -43,15 +47,19 @@ class LuaTable:
             raise LuaError("table index is nil")
         if value is None:
             self.hash.pop(key, None)
+            if isinstance(key, int) and 1 <= key <= self._border:
+                self._border = key - 1  # any border is valid past a hole
         else:
             self.hash[key] = value
+            if isinstance(key, int) and key == self._border + 1:
+                n = key
+                while (n + 1) in self.hash:  # absorb keys set out of order
+                    n += 1
+                self._border = n
 
     def length(self) -> int:
-        # border semantics: count contiguous integer keys from 1
-        n = 0
-        while (n + 1) in self.hash:
-            n += 1
-        return n
+        # border semantics: contiguous integer keys from 1 (cached)
+        return self._border
 
     def array_items(self) -> list:
         return [self.hash[i] for i in range(1, self.length() + 1)]
@@ -408,6 +416,16 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         if n == "#":
             return len(args)
         n = int(n)
+        if n < 0:
+            # negative n counts from the end: select(-1, ...) is the LAST
+            # value only (args[n-1:] was off by one)
+            if -n > len(args):
+                raise LuaError(
+                    "bad argument #1 to 'select' (index out of range)"
+                )
+            return args[n:]
+        if n == 0:
+            raise LuaError("bad argument #1 to 'select' (index out of range)")
         return args[n - 1 :]
 
     def _setmetatable(t, mt):
@@ -855,7 +873,20 @@ def _call(fn, args: list | tuple):
         raise LuaError("attempt to call a nil value")
     if not callable(fn):
         raise LuaError(f"attempt to call a {lua_type(fn)} value")
-    return fn(*args)
+    try:
+        return fn(*args)
+    except (LuaError, _Return, _Break):
+        raise
+    except RecursionError:
+        raise LuaError("stack overflow") from None
+    except (TypeError, ValueError, IndexError, KeyError, AttributeError,
+            ZeroDivisionError, OverflowError) as e:
+        # host/stdlib functions surface script misuse (wrong arg count,
+        # bad types) as Python exceptions; mlua wraps every host error as
+        # a Lua error (so pcall can trap it and refresh() aborts with
+        # "Could not execute lua code!" instead of a raw traceback) —
+        # mirror that at the one call boundary
+        raise LuaError(f"{type(e).__name__}: {e}") from None
 
 
 def _as_tuple(v) -> tuple:

@@ -122,13 +122,19 @@ def tokenize(src: str) -> list[Token]:
                             line += 1
                         j += 1
                     elif e == "x":
-                        buf.append(chr(int(src[j + 1 : j + 3], 16)))
+                        try:
+                            buf.append(chr(int(src[j + 1 : j + 3], 16)))
+                        except ValueError:
+                            err("hexadecimal digit expected")
                         j += 3
                     elif e.isdigit():
                         k = j
                         while k < n and k < j + 3 and src[k].isdigit():
                             k += 1
-                        buf.append(chr(int(src[j:k])))
+                        code = int(src[j:k])
+                        if code > 255:
+                            err("decimal escape too large")
+                        buf.append(chr(code))
                         j = k
                     elif e == "z":
                         j += 1
@@ -157,16 +163,25 @@ def tokenize(src: str) -> list[Token]:
                 try:
                     val: object = int(text, 16)
                 except ValueError:
-                    val = float.fromhex(text)
+                    try:
+                        val = float.fromhex(text)
+                    except ValueError:
+                        err(f"malformed number near '{text}'")
             else:
                 while j < n and (src[j].isdigit() or src[j] in ".eE" or
                                  (src[j] in "+-" and src[j - 1] in "eE")):
                     j += 1
                 text = src[i:j]
-                if "." in text or "e" in text or "E" in text:
-                    val = float(text)
-                else:
-                    val = int(text)
+                try:
+                    if "." in text or "e" in text or "E" in text:
+                        val = float(text)
+                    else:
+                        val = int(text)
+                except ValueError:
+                    # '1e', '1..2', '1e+' etc. must be a SYNTAX error the
+                    # runtime converts to LuaError, not a raw ValueError
+                    # that crashes refresh()
+                    err(f"malformed number near '{text}'")
             toks.append(Token("number", val, line))
             i = j
             continue

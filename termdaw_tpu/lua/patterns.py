@@ -35,13 +35,18 @@ class LuaPatternError(ValueError):
 
 
 def translate(pat: str) -> str:
-    """Lua pattern -> Python regex source."""
+    """Lua pattern -> Python regex source ('^' anchor becomes Python '^',
+    i.e. position-0 only — right for gsub/gmatch; find/match use
+    _compile_floating so the anchor works at any init offset)."""
+    if pat.startswith("^"):
+        return "^" + _translate_body(pat[1:])
+    return _translate_body(pat)
+
+
+def _translate_body(pat: str) -> str:
     out = []
     i = 0
     n = len(pat)
-    if pat.startswith("^"):
-        out.append("^")
-        i = 1
     while i < n:
         c = pat[i]
         if c == "%":
@@ -66,14 +71,21 @@ def translate(pat: str) -> str:
             if j < n and pat[j] == "^":
                 neg = True
                 j += 1
-            inner = []
+            inner = []       # plain set contents
+            comps = []       # complement classes (%S, %W, ...) in the set
             first = True
             while j < n and (pat[j] != "]" or first):
                 first = False
                 if pat[j] == "%" and j + 1 < n:
                     e = pat[j + 1]
-                    if e.lower() in _CLASS_INNER and e.islower():
+                    if e.islower() and e in _CLASS_INNER:
                         inner.append(_CLASS_INNER[e])
+                    elif e.isupper() and e.lower() in _CLASS_INNER:
+                        # complement class inside a set ([%Sx]): cannot be
+                        # expressed inside a Python character class
+                        # (previously matched the LITERAL letter) — pull
+                        # it out and union via alternation below
+                        comps.append(_CLASS_MAP[e])
                     else:
                         inner.append(re.escape(e))
                     j += 2
@@ -89,7 +101,16 @@ def translate(pat: str) -> str:
                     j += 1
             if j >= n:
                 raise LuaPatternError("malformed pattern (missing ']')")
-            out.append("[" + ("^" if neg else "") + "".join(inner) + "]")
+            if comps:
+                atoms = list(comps)
+                if inner:
+                    atoms.append("[" + "".join(inner) + "]")
+                union = "(?:" + "|".join(atoms) + ")"
+                # [^...] with complement members = NOT(union): one char
+                # that doesn't start the union (DOTALL '.' = any char)
+                out.append(f"(?:(?!{union}).)" if neg else union)
+            else:
+                out.append("[" + ("^" if neg else "") + "".join(inner) + "]")
             i = j + 1
         elif c == ".":
             out.append(".")
@@ -113,8 +134,26 @@ def translate(pat: str) -> str:
     return "".join(out)
 
 
+def _compile_src(src: str) -> re.Pattern:
+    try:
+        return re.compile(src, re.DOTALL)
+    except re.error as e:
+        # '*a' and friends are legal-looking Lua that Python rejects —
+        # must surface as a Lua pattern error, not a raw re.error that
+        # escapes the LuaError boundary and crashes refresh()
+        raise LuaPatternError(f"malformed pattern ({e})") from None
+
+
 def _compile(pat: str) -> re.Pattern:
-    return re.compile(translate(pat), re.DOTALL)
+    return _compile_src(translate(pat))
+
+
+def _compile_floating(pat: str) -> tuple[re.Pattern, bool]:
+    """For find/match: Lua's '^' anchors at the INIT offset, which Python
+    '^' cannot do — strip it and use Pattern.match(s, pos) instead."""
+    anchored = pat.startswith("^")
+    return _compile_src(_translate_body(pat[1:] if anchored else pat)), \
+        anchored
 
 
 def _caps(m: re.Match):
@@ -130,7 +169,8 @@ def lua_find(s: str, pat: str, init: int = 1, plain=False):
         if idx < 0:
             return (None,)
         return (idx + 1, idx + len(pat))
-    m = _compile(pat).search(s, start)
+    rx, anchored = _compile_floating(pat)
+    m = rx.match(s, start) if anchored else rx.search(s, start)
     if m is None:
         return (None,)
     res = [m.start() + 1, m.end()]
@@ -141,7 +181,8 @@ def lua_find(s: str, pat: str, init: int = 1, plain=False):
 
 def lua_match(s: str, pat: str, init: int = 1):
     start = max(int(init) - 1, 0) if init >= 0 else max(len(s) + int(init), 0)
-    m = _compile(pat).search(s, start)
+    rx, anchored = _compile_floating(pat)
+    m = rx.match(s, start) if anchored else rx.search(s, start)
     if m is None:
         return (None,)
     return _caps(m)

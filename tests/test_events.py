@@ -41,6 +41,20 @@ class TestMidi:
         with pytest.raises(MidiError):
             read_floww_from_midi(p)
 
+    def test_truncated_track_is_midi_error(self, tmp_path):
+        """A track body that ends mid-event must raise MidiError (which
+        refresh excludes gracefully), not IndexError."""
+        import struct
+
+        # delta 0, note-on status, note byte... then EOF (missing vel)
+        body = bytes([0x00, 0x90, 60])
+        blob = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        blob += b"MTrk" + struct.pack(">I", len(body)) + body
+        p = tmp_path / "trunc.mid"
+        p.write_bytes(blob)
+        with pytest.raises(MidiError):
+            read_floww_from_midi(p)
+
     def test_noteon_vel0_is_off(self, tmp_path):
         """Note-on with velocity 0 is a note-off per the MIDI spec."""
         import struct

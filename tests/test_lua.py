@@ -285,3 +285,97 @@ def test_pattern_classes_and_anchors():
     assert rt.get_global("a") == "hello"
     assert rt.get_global("b") == "x"
     assert rt.get_global("c") == 2
+
+
+def test_host_errors_become_lua_errors():
+    """Python exceptions from host/stdlib functions must surface as
+    LuaError (and be pcall-trappable), never crash the interpreter."""
+    for src in (
+        'x = math.sqrt("x")',          # TypeError from math
+        'x = string.rep("x")',         # missing arg
+        'x = string.format("%d")',     # no args for spec
+    ):
+        with pytest.raises(LuaError):
+            run(src)
+    rt = run('ok, err = pcall(function() return math.sqrt("x") end)')
+    assert rt.get_global("ok") is False
+    assert isinstance(rt.get_global("err"), str)
+
+
+def test_malformed_numbers_are_syntax_errors():
+    for src in ("x = 1e", "x = 0x", 'x = "\\xZZ"'):
+        with pytest.raises(LuaError):
+            run(src)
+
+
+def test_malformed_patterns_raise_lua_error():
+    for src in (
+        'x = string.match("abc", "*a")',
+        'x = string.find("abc", "+%d")',
+    ):
+        with pytest.raises(LuaError):
+            run(src)
+
+
+def test_anchored_pattern_with_init():
+    rt = run(
+        """
+        a, b = string.find("abc123", "^%d+", 4)
+        m = string.match("abc123", "^%d+", 4)
+        n = string.match("abc123", "^%d+", 2)  -- no digits at init
+        """
+    )
+    assert rt.get_global("a") == 4 and rt.get_global("b") == 6
+    assert rt.get_global("m") == "123"
+    assert rt.get_global("n") is None
+
+
+def test_complement_classes_inside_sets():
+    rt = run(
+        """
+        a = string.match("hello world", "[%S]+")
+        b = string.match("ab12cd", "[%Dx]+")
+        c = string.match("  a b", "[^%S]+")  -- whitespace run
+        """
+    )
+    assert rt.get_global("a") == "hello"
+    assert rt.get_global("b") == "ab"
+    assert rt.get_global("c") == "  "
+
+
+def test_select_negative():
+    rt = run(
+        """
+        last = select(-1, "a", "b", "c")
+        tail = select(2, "a", "b", "c")
+        n = select("#", "a", "b")
+        """
+    )
+    assert rt.get_global("last") == "c"
+    assert rt.get_global("tail") == "b"  # first of the returned tail
+    assert rt.get_global("n") == 2
+
+
+def test_table_border_cache():
+    """length() is border-cached; inserts/removes/holes keep it correct."""
+    rt = run(
+        """
+        t = {}
+        for i = 1, 2000 do table.insert(t, i) end
+        n1 = #t
+        table.remove(t, 1000)
+        n2 = #t
+        t[1000] = "back"
+        n3 = #t
+        u = {1, 2, 3}
+        u[2] = nil
+        n4 = #u
+        u[2] = 9
+        n5 = #u
+        """
+    )
+    assert rt.get_global("n1") == 2000
+    assert rt.get_global("n2") == 1999
+    assert rt.get_global("n3") == 1999
+    assert rt.get_global("n4") == 1
+    assert rt.get_global("n5") == 3
