@@ -25,6 +25,8 @@ SampleMulti/SampleLerp/Adsr/SampSyn state carried).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, replace
 from functools import partial
 from typing import Any
@@ -80,8 +82,28 @@ def _unpack_bakes(ints_buf, floats_buf, layout):
 
 # jitted window programs shared across CompiledGraph instances: keyed by
 # the graph spec + window size + scan flag + bake layouts, so a refresh
-# with unchanged topology/static config never recompiles
+# with unchanged topology/static config never recompiles. BOUNDED (LRU):
+# each program's closure pins its CompiledGraph — including the
+# device-resident sample/wavetable buffers — and entries whose spec
+# changed can never hit again, so an unbounded cache leaks HBM across a
+# long interactive session of topology-changing refreshes.
 _PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_CAP = max(
+    8, int(os.environ.get("TERMDAW_PROGRAM_CACHE", "128") or "128")
+)
+
+
+def _cache_get(key):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        _PROGRAM_CACHE[key] = _PROGRAM_CACHE.pop(key)  # LRU: move to end
+    return fn
+
+
+def _cache_put(key, fn):
+    _PROGRAM_CACHE[key] = fn
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
 
 # device-resident frame->seconds tables, keyed by (sr, pow2 length).
 # The reference computes time = (t+i) as f32 / sr as f32 with a TRUE f32
@@ -679,7 +701,7 @@ class CompiledGraph:
         )
         key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout,
                ttab_len)
-        if key not in self._jit_cache:
+        if _cache_get(key) is None:
             state_spec = jax.tree.map(lambda _: P(), self.num_state)
             in_specs = (
                 state_spec,
@@ -701,7 +723,7 @@ class CompiledGraph:
                 mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
-            self._jit_cache[key] = jax.jit(fn)
+            _cache_put(key, jax.jit(fn))
 
         new_state, audio = self._jit_cache[key](
             self.num_state,
@@ -1010,7 +1032,7 @@ class CompiledGraph:
     # -- program construction -------------------------------------------------
     def _get_fn(self, nb: int, is_scan: bool, layout: tuple, fx_layout: tuple):
         key = (self.spec, nb, is_scan, layout, fx_layout)
-        if key not in self._jit_cache:
+        if _cache_get(key) is None:
 
             def packed(num_state, params, ints_buf, floats_buf, fx_vec,
                        samples, samples_padded, wts, t0, ttab):
@@ -1025,7 +1047,7 @@ class CompiledGraph:
 
             from ..utils.aotcache import AotProgram
 
-            self._jit_cache[key] = AotProgram(jax.jit(packed), repr(key))
+            _cache_put(key, AotProgram(jax.jit(packed), repr(key)))
         return self._jit_cache[key]
 
     def _fused_mix(

@@ -210,7 +210,10 @@ def _reverb_lines(sr: int) -> tuple[list[int], list[int]]:
 def _reverb_init(sr: int, static: dict) -> dict:
     combs, allp = _reverb_lines(sr)
     return {
-        "comb_tails": tuple(jnp.zeros((d, 2), jnp.float32) for d in combs),
+        # combs are per-channel mono lines (L/R interleaved in `combs`),
+        # so their tails are [d, 1] — running the scan on [T, 2] and
+        # discarding a channel doubled the comb bank's work
+        "comb_tails": tuple(jnp.zeros((d, 1), jnp.float32) for d in combs),
         "ap_x_tails": tuple(jnp.zeros((d, 2), jnp.float32) for d in allp),
         "ap_y_tails": tuple(jnp.zeros((d, 2), jnp.float32) for d in allp),
         "damp_y0": jnp.zeros(2, jnp.float32),
@@ -234,13 +237,15 @@ def _reverb_process(x, state, params, sr, static, axis_name=None):
     for i, d in enumerate(combs):
         # per-comb feedback slightly varied for density
         g = room * (0.94 + 0.06 * (i % 3) / 2.0)
-        # L combs feed L, R combs feed R (interleaved tunings)
+        # L combs feed L, R combs feed R (interleaved tunings): each comb
+        # is a MONO line, so scan only its own channel
+        ch = i % 2
         y, tail = feedback_line(
-            damped, state["comb_tails"][i], g, d, axis_name=axis_name
+            damped[:, ch:ch + 1], state["comb_tails"][i], g, d,
+            axis_name=axis_name,
         )
         new_comb_tails.append(tail)
-        ch = i % 2
-        acc = acc.at[:, ch].add(y[:, ch])
+        acc = acc.at[:, ch].add(y[:, 0])
 
     out = acc
     new_ap_x = []
@@ -276,20 +281,29 @@ _CHORUS_MAX_DELAY_MS = 40.0
 def _chorus_init(sr: int, static: dict) -> dict:
     m = int(_CHORUS_MAX_DELAY_MS / 1000.0 * sr) + 4
     return {"tail": jnp.zeros((m, 2), jnp.float32),
-            "t0": jnp.zeros((), jnp.float32)}
+            "phase": jnp.zeros((), jnp.float32)}
 
 
-def _local_time(t0, T: int, sr: int, axis_name):
-    """Per-device local time axis + the (replicated) next-window t0."""
+def _local_phase(ph0, rate, T: int, sr: int, axis_name):
+    """Per-device LFO phase axis (radians) + the next-window start phase.
+
+    Carries accumulated PHASE modulo 2*pi rather than absolute seconds:
+    an f32 absolute-time clock loses modulation resolution as it grows
+    (at t ~ 1e4 s the f32 spacing is ~1e-3 s, i.e. audible stepping in a
+    0.3-20 Hz LFO after hours of playback); the wrapped phase stays
+    small forever. Phase is also continuous across rate changes."""
+    w = 2.0 * math.pi * rate / jnp.float32(sr)  # rad per frame
     if axis_name is None:
-        base = t0
-        t0_next = t0 + jnp.float32(T) / jnp.float32(sr)
+        base = ph0
+        ph_next = ph0 + w * jnp.float32(T)
     else:
         n = jax.lax.axis_size(axis_name)
         i = jax.lax.axis_index(axis_name).astype(jnp.float32)
-        base = t0 + i * (jnp.float32(T) / jnp.float32(sr))
-        t0_next = t0 + jnp.float32(n * T) / jnp.float32(sr)
-    return base + jnp.arange(T, dtype=jnp.float32) / jnp.float32(sr), t0_next
+        base = ph0 + w * (i * jnp.float32(T))
+        ph_next = ph0 + w * jnp.float32(n * T)
+    two_pi = jnp.float32(2.0 * math.pi)
+    return base + w * jnp.arange(T, dtype=jnp.float32), \
+        jnp.mod(ph_next, two_pi)
 
 
 def _chorus_process(x, state, params, sr, static, axis_name=None):
@@ -298,16 +312,16 @@ def _chorus_process(x, state, params, sr, static, axis_name=None):
     base_ms = jnp.clip(params["base"], 1.0, 20.0)
     voices = 3
     T = x.shape[0]
-    t, t0_next = _local_time(state["t0"], T, sr, axis_name)
+    phase, ph_next = _local_phase(state["phase"], rate, T, sr, axis_name)
     halo, new_tail = prev_frames(x, state["tail"], axis_name)
     out = jnp.zeros_like(x)
     for v in range(voices):
         ph = 2.0 * math.pi * (v / voices)
-        lfo = jnp.sin(2.0 * math.pi * rate * t + ph)
+        lfo = jnp.sin(phase + ph)
         delay = (base_ms + depth_ms * (0.5 + 0.5 * lfo)) * (sr / 1000.0)
         out = out + delayed_read(x, halo, delay)
     out = out / voices
-    return out, {"tail": new_tail, "t0": t0_next}
+    return out, {"tail": new_tail, "phase": ph_next}
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +479,7 @@ _FLANGER_MAX_DELAY_MS = 12.0
 def _flanger_init(sr: int, static: dict) -> dict:
     m = int(_FLANGER_MAX_DELAY_MS / 1000.0 * sr) + 4
     return {"tail": jnp.zeros((m, 2), jnp.float32),
-            "t0": jnp.zeros((), jnp.float32)}
+            "phase": jnp.zeros((), jnp.float32)}
 
 
 def _flanger_process(x, state, params, sr, static, axis_name=None):
@@ -473,13 +487,13 @@ def _flanger_process(x, state, params, sr, static, axis_name=None):
     depth_ms = jnp.clip(params["depth"], 0.1, 5.0)
     base_ms = jnp.clip(params["base"], 0.5, 6.0)
     T = x.shape[0]
-    t, t0_next = _local_time(state["t0"], T, sr, axis_name)
+    phase, ph_next = _local_phase(state["phase"], rate, T, sr, axis_name)
     halo, new_tail = prev_frames(x, state["tail"], axis_name)
-    lfo = jnp.sin(2.0 * math.pi * rate * t)
+    lfo = jnp.sin(phase)
     delay = (base_ms + depth_ms * (0.5 + 0.5 * lfo)) * (sr / 1000.0)
     wet = delayed_read(x, halo, delay)
     y = 0.5 * (x + wet)
-    return y, {"tail": new_tail, "t0": t0_next}
+    return y, {"tail": new_tail, "phase": ph_next}
 
 
 # ---------------------------------------------------------------------------

@@ -107,4 +107,9 @@ def run_stream_workflow(
         state.fb.set_time(state.compiled.get_time())
         if msgs:
             print(f"MSGs: {msgs}")
+        # pace playback on EVERY iteration, not only when the queue is
+        # momentarily empty: a sustained dense packet stream would
+        # otherwise keep the queue non-empty for longer than the ~85 ms
+        # lead and starve the sink while events pile up
+        player.tick()
     sink.close()

@@ -187,7 +187,20 @@ def _engine_loop(state, sink, player, cmd_queue, inp, proj_sr) -> None:
                           f"the command, e.g. 'set 12.5').{DEFAULT}")
                     continue
                 else:
-                    raw = _prompt_time(inp)
+                    # piped input: the reader thread iterates the stream
+                    # with read-ahead, so a readline here would race it —
+                    # the time line has already been (or will be)
+                    # consumed and enqueued; take it from the queue
+                    print("time (seconds): ", end="", flush=True)
+                    try:
+                        nxt = cmd_queue.get(timeout=5.0)
+                        if nxt is None:
+                            cmd_queue.put(None)  # re-post the EOF marker
+                            raw = None
+                        else:
+                            raw = nxt.strip()
+                    except queue.Empty:  # no time line arrived
+                        raw = None
                 try:
                     seconds = float(raw)
                 except (TypeError, ValueError):
@@ -212,9 +225,3 @@ def _engine_loop(state, sink, player, cmd_queue, inp, proj_sr) -> None:
             if check_loaded():
                 for name, val in state.compiled.get_normalization_values():
                     print(f"{MAGENTA} {name}: {val}{DEFAULT}")
-
-
-def _prompt_time(inp) -> str | None:
-    print("time (seconds): ", end="", flush=True)
-    line = inp.readline()
-    return line.strip() if line else None

@@ -290,3 +290,21 @@ class TestSeedCapsPreservesState:
         assert st.fb.frame == frame_before
         assert st.fb.start_indices == starts_before
         assert {k: repr(v) for k, v in cg.carries.items()} == carries_before
+
+
+class TestProgramCacheLru:
+    def test_bounded_lru_eviction(self, monkeypatch):
+        """_PROGRAM_CACHE is a bounded LRU: compiled programs pin their
+        CompiledGraph (device sample buffers), so dead-spec entries must
+        eventually evict."""
+        from termdaw_tpu.graph import compile as C
+
+        monkeypatch.setattr(C, "_PROGRAM_CACHE", {})
+        monkeypatch.setattr(C, "_PROGRAM_CACHE_CAP", 3)
+        for k in "abc":
+            C._cache_put(k, k)
+        assert C._cache_get("a") == "a"  # refreshes 'a' to most-recent
+        C._cache_put("d", "d")           # evicts 'b', the oldest
+        assert C._cache_get("b") is None
+        assert C._cache_get("a") == "a"
+        assert C._cache_get("d") == "d"

@@ -110,6 +110,19 @@ class TestUiWorkflow:
         assert sink.frames_queued >= 3 * BL
         assert st.compiled.get_time() == sink.frames_queued
 
+    def test_set_prompt_form(self, tmp_path, capsys):
+        """'set' with the time on the NEXT line (the reference's prompt
+        form, ui_workflow.rs:60-75). The reader thread owns the piped
+        stream, so the engine must take the time from the command queue —
+        a racing readline used to eat it as a bogus command."""
+        out = tmp_path / "out.wav"
+        st = tone_project(tmp_path, out)
+        cmds = io.StringIO("set\n0.25\nget\nquit\n")
+        run_ui_workflow(SR, BL, st, NullSink(SR), input_stream=cmds)
+        captured = capsys.readouterr().out
+        assert f"Frame: {int(0.25 * SR)}" in captured
+        assert "command not found" not in captured
+
     def test_seek_restores_lead(self, tmp_path):
         """seek() clears the sink queue; while playing it must re-queue
         the prebuffer and restart the pacing epoch, or playback runs
@@ -134,7 +147,7 @@ class TestUiWorkflow:
 
     def test_tick_maintains_lead(self, tmp_path):
         """tick() keeps LEAD_BLOCKS of generated audio ahead of the wall
-        clock (manual deviation 11), so a dispatch spike eats queued
+        clock (manual deviation 12), so a dispatch spike eats queued
         margin instead of starving the sink."""
         import time as _time
 
