@@ -240,6 +240,22 @@ def time_fn(fn, reps: int) -> list:
     return ts
 
 
+# one source of truth for the bench configs — tools/chip_check.py
+# re-measures single configs from this same mapping
+BUILDERS = {
+    "c1": build_c1_sample_project,
+    "c2_negadsr": build_c2_neg_adsr,
+    "c3_synths": build_c3_synths,
+    "c4_fullgraph": build_c4_fullgraph,
+    "c5_stream64": build_c5_stream_mix,
+    # scaling extra (not a BASELINE config): 4x config 5's tracks —
+    # the fused voice-mix kernel scales near-linearly in live voices
+    "c6_stream256": lambda d, ls, sr, bl: build_c5_stream_mix(
+        d, ls, sr, bl, n_tracks=256
+    ),
+}
+
+
 def measure_chip(st, length_sec: float, reps: int, name: str, extra: dict,
                  spread_guard: bool = False) -> float:
     """Device-pipeline timing. Run for EVERY config BEFORE the process's
@@ -283,15 +299,17 @@ def measure_e2e(st, length_sec: float, reps: int, name: str, extra: dict):
     return e2e
 
 
-def probe_link(extra: dict) -> None:
-    """Measure the device->host link rate with an incompressible 7 MB
-    buffer (the config-1 PCM payload size)."""
+def probe_link(extra: dict, length_sec: float = 40.0) -> None:
+    """Measure the device->host link rate with an incompressible buffer
+    sized like the config-1 PCM payload (length_sec of 44.1k int16)."""
     import jax
     import jax.numpy as jnp
 
+    frames = int(length_sec * 44100)
+
     @jax.jit
     def make(seed):
-        x = jax.random.normal(jax.random.PRNGKey(seed), (1764000, 2))
+        x = jax.random.normal(jax.random.PRNGKey(seed), (frames, 2))
         return (x * 9000).astype(jnp.int16)
 
     np.asarray(make(0))  # absorb any first-fetch tax
@@ -302,13 +320,13 @@ def probe_link(extra: dict) -> None:
         t0 = time.perf_counter()
         np.asarray(b)
         best = min(best, time.perf_counter() - t0)
-    mb = 1764000 * 4 / 1e6
+    mb = frames * 4 / 1e6
     extra["link_mbps"] = round(mb / best, 1)
-    # 40 s of finished 44.1 kHz int16 PCM takes `best` seconds to ship, so
-    # no end-to-end number on this harness can beat this
-    extra["tunnel_floor_xrt"] = round(40.0 / best, 1)
-    log(f"tunnel link: {mb/best:.0f} MB/s -> e2e cap ~{40.0/best:.0f}x RT "
-        f"for the 7 MB config-1 payload")
+    # length_sec of finished 44.1 kHz int16 PCM takes `best` seconds to
+    # ship, so no end-to-end number on this harness can beat this
+    extra["tunnel_floor_xrt"] = round(length_sec / best, 1)
+    log(f"tunnel link: {mb/best:.0f} MB/s -> e2e cap "
+        f"~{length_sec/best:.0f}x RT for the {mb:.1f} MB config-1 payload")
 
 
 def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
@@ -355,13 +373,17 @@ def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
         log("playback: warmup timed out; skipped")
         return
     t0 = time.monotonic()
+    # snapshot: play() prebuffers ~LEAD_BLOCKS of audio before the wall
+    # clock starts; counting it as generated-during-window would inflate
+    # the rate (~0.34 s over a 6 s window masks a ~0.94x chip)
+    gen0_ms = pl.millis_generated
     max_deficit = 0.0
     while time.monotonic() - t0 < seconds:
         elapsed_ms = (time.monotonic() - pl.since) * 1000.0
         max_deficit = max(max_deficit, elapsed_ms - pl.millis_generated)
         time.sleep(0.05)
     wall = time.monotonic() - t0
-    gen_s = pl.millis_generated / 1000.0
+    gen_s = (pl.millis_generated - gen0_ms) / 1000.0
     pl.playing = False  # tick's drain loop checks this and exits
     t.join(timeout=60.0)
     rate = gen_s / max(wall, 1e-9)
@@ -389,18 +411,7 @@ def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="termdaw_bench_"))
     extra: dict = {}
 
-    builders = {
-        "c1": build_c1_sample_project,
-        "c2_negadsr": build_c2_neg_adsr,
-        "c3_synths": build_c3_synths,
-        "c4_fullgraph": build_c4_fullgraph,
-        "c5_stream64": build_c5_stream_mix,
-        # scaling extra (not a BASELINE config): 4x config 5's tracks —
-        # the fused voice-mix kernel scales near-linearly in live voices
-        "c6_stream256": lambda d, ls, sr, bl: build_c5_stream_mix(
-            d, ls, sr, bl, n_tracks=256
-        ),
-    }
+    builders = BUILDERS
 
     # Phase A — chip timings for every config BEFORE the process's first
     # device->host fetch (see measure_chip for why the order matters)
@@ -425,7 +436,7 @@ def main() -> None:
 
     # Phase B — the first fetch (link probe, which also absorbs the
     # per-process first-fetch tax of ~40-400 s), then end-to-end timings
-    probe_link(extra)
+    probe_link(extra, length_sec)
     for name, st in states.items():
         try:
             measure_e2e(st, length_sec, max(2, reps // 2), name, extra)

@@ -31,17 +31,14 @@ SR = 48000
 
 def _drum(path: Path, dur: float, freq: float, decay: float,
           noise: float = 0.0, seed: int = 0, sr: int = SR) -> None:
+    """Exists-skipping wrapper over the one shared drum synthesizer
+    (termdaw_tpu/utils/fixtures._drum) so example assets and test
+    fixtures can never drift apart."""
     if path.exists():
         return
-    t = np.arange(int(sr * dur)) / sr
-    body = np.exp(-t * decay) * np.sin(2 * np.pi * freq * t * np.exp(-t * 4))
-    if noise > 0:
-        rng = np.random.default_rng(seed)
-        body = body + noise * np.exp(-t * decay * 2) * rng.standard_normal(
-            len(t)
-        )
-    body = (0.9 * body / np.max(np.abs(body))).astype(np.float32)
-    write_wav(path, np.stack([body, body], 1), sr, bits=16)
+    from termdaw_tpu.utils.fixtures import _drum as fixture_drum
+
+    fixture_drum(path, sr, dur, freq, decay, noise=noise, seed=seed)
 
 
 def _pad_loop(path: Path, dur: float = 4.0, sr: int = SR) -> None:

@@ -93,8 +93,10 @@ def _seg_bounds(conf: AdsrConf):
     return a32, ad, ads_end
 
 
-def apply_ads(conf: AdsrConf, t):
-    """ADS value at time t, holding sustain_vel past the sustain window."""
+def _ads_internal(conf: AdsrConf, t):
+    """The reference's apply_ads_internal (adsr.rs:46-60): piecewise ADS
+    with -1000.0 past the sustain window (the callers interpret any value
+    <= -1.0 as their hold/release trigger)."""
     t = jnp.asarray(t, jnp.float32)
     a, d, s = conf.attack_sec, conf.decay_sec, conf.sustain_sec
     a32, ad, ads_end = _seg_bounds(conf)
@@ -113,11 +115,20 @@ def apply_ads(conf: AdsrConf, t):
         jnp.float32(conf.decay_vel), jnp.float32(conf.sustain_vel),
         _safe_div(t - a32 - d32, s),  # sequential f32 subs (adsr.rs:52-56)
     )
-    v_hold = jnp.float32(conf.sustain_vel)
+    v_hold = jnp.float32(-1000.0)
     return jnp.where(
         in_attack, v_attack,
         jnp.where(in_decay, v_decay, jnp.where(in_sustain, v_sustain, v_hold)),
     )
+
+
+def apply_ads(conf: AdsrConf, t):
+    """ADS value at time t. The reference clamps ANY internal value
+    <= -1.0 to sustain_vel (adsr.rs:62-69) — that both implements the
+    hold past the sustain window (internal -1000) and snaps exotic
+    mid-segment values reached with velocities <= -1.0."""
+    v = _ads_internal(conf, t)
+    return jnp.where(v <= -1.0, jnp.float32(conf.sustain_vel), v)
 
 
 def apply_r(conf: AdsrConf, t, old_val):
@@ -133,13 +144,14 @@ def apply_r(conf: AdsrConf, t, old_val):
 
 
 def apply_adsr(conf: AdsrConf, t):
-    """Full fixed-timeline envelope incl. release (reference adsr.rs:75-86)."""
+    """Full fixed-timeline envelope incl. release (reference adsr.rs:75-86).
+    Like apply_ads, the release branch triggers on the internal value
+    being <= -1.0 (not on a time comparison)."""
     t = jnp.asarray(t, jnp.float32)
-    ads = apply_ads(conf, t)
-    a32, _ad, ads_end = _seg_bounds(conf)
+    v = _ads_internal(conf, t)
+    a32, _ad, _ads_end = _seg_bounds(conf)
     d32 = np.float32(conf.decay_sec)
     s32 = np.float32(conf.sustain_sec)
-    in_ads = t <= ads_end
     r = conf.release_sec
     # sequential f32 subtractions (adsr.rs:79-84)
     rel_t = t - a32 - d32 - s32
@@ -147,7 +159,7 @@ def apply_adsr(conf: AdsrConf, t):
     if r <= 0.0:
         frac = jnp.ones_like(t)
     v_rel = lerp(jnp.float32(conf.sustain_vel), jnp.float32(conf.release_vel), frac)
-    return jnp.where(in_ads, ads, v_rel)
+    return jnp.where(v <= -1.0, v_rel, v)
 
 
 def apply_r_rt(conf: AdsrConf, t, rt):
@@ -172,11 +184,15 @@ def np_apply_ads(conf: AdsrConf, t: np.ndarray) -> np.ndarray:
     res = np.empty_like(flat)
     for i, tt in enumerate(flat):
         if tt <= a:
-            res[i] = seg(0, a, conf.std_vel, conf.attack_vel, tt)
+            v = seg(0, a, conf.std_vel, conf.attack_vel, tt)
         elif tt <= a + d:
-            res[i] = seg(a, d, conf.attack_vel, conf.decay_vel, tt)
+            v = seg(a, d, conf.attack_vel, conf.decay_vel, tt)
         elif tt <= a + d + s:
-            res[i] = seg(a + d, s, conf.decay_vel, conf.sustain_vel, tt)
+            v = seg(a + d, s, conf.decay_vel, conf.sustain_vel, tt)
         else:
-            res[i] = conf.sustain_vel
+            v = np.float32(-1000.0)
+        # the reference's apply_ads clamp (adsr.rs:62-69): any internal
+        # value <= -1.0 (incl. the -1000 past-window sentinel) snaps to
+        # sustain_vel
+        res[i] = conf.sustain_vel if v <= -1.0 else v
     return res.reshape(t.shape)

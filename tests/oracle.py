@@ -112,7 +112,10 @@ def conf32(conf):
     return tuple(np.float32(x) for x in conf)
 
 
-def ads(conf, t):
+def _ads_internal(conf, t):
+    """apply_ads_internal (adsr.rs:46-60): piecewise ADS, -1000.0 past
+    the sustain window; zero-length segments evaluate to their start
+    velocity (documented deviation 5)."""
     sv, a_s, av, d_s, dv, s_s, svel, r_s, rv = conf
     if a_s > 0 and t <= a_s:
         return lerp(sv, av, t / a_s)
@@ -124,7 +127,15 @@ def ads(conf, t):
         return av
     if s_s > 0 and t <= a_s + d_s + s_s:
         return lerp(dv, svel, (t - a_s - d_s) / s_s)
-    return svel
+    return np.float32(-1000.0)
+
+
+def ads(conf, t):
+    # apply_ads clamp (adsr.rs:62-69): any internal value <= -1.0 — the
+    # past-window -1000 sentinel AND exotic mid-segment values from
+    # velocities <= -1.0 — snaps to sustain_vel
+    v = _ads_internal(conf, t)
+    return conf[6] if v <= -1.0 else v
 
 
 def rel(conf, t, old):
@@ -134,9 +145,12 @@ def rel(conf, t, old):
 
 
 def adsr_full(conf, t):
+    # release triggers on the internal value being <= -1.0, not on a
+    # time comparison (adsr.rs:75-86)
     sv, a_s, av, d_s, dv, s_s, svel, r_s, rv = conf
-    if t <= a_s + d_s + s_s:
-        return ads(conf, t)
+    v = _ads_internal(conf, t)
+    if v > -1.0:
+        return v
     frac = min((t - a_s - d_s - s_s) / r_s, 1.0) if r_s > 0 else 1.0
     return lerp(svel, rv, frac)
 
@@ -359,9 +373,10 @@ class Synth(V):
         sqv, sqz, sqc = self.sq
         tfv, tfz, tfc = self.tf
         trv, _, trc = self.tr
-        amp = 1.0 / (
-            sqv * max_vel(sqc) + tfv * max_vel(tfc) + trv * max_vel(trc)
-        )
+        mv = sqv * max_vel(sqc) + tfv * max_vel(tfc) + trv * max_vel(trc)
+        # all-zero volumes/velocities: engine emits silence where the
+        # reference computes 1/0 = inf and NaNs out (manual deviation 11)
+        amp = 1.0 / mv if mv != 0.0 else 0.0
         release_sec = 0.0
         if sqv > 0:
             release_sec = sqc[7]

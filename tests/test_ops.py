@@ -98,6 +98,31 @@ class TestAdsr:
             a(apply_adsr(conf, jnp.asarray(ts))), expect, atol=1e-3
         )
 
+    def test_below_minus_one_clamps_to_sustain(self):
+        """The reference clamps ANY apply_ads value <= -1.0 to sustain_vel
+        (adsr.rs:62-69) — not just the past-window -1000 sentinel. A
+        velocity below -1.0 makes a mid-segment lerp cross the threshold."""
+        conf = AdsrConf(
+            std_vel=0.0, attack_sec=1.0, attack_vel=-2.0, decay_sec=0.0,
+            decay_vel=-2.0, sustain_sec=0.0, sustain_vel=0.7,
+            release_sec=1.0, release_vel=0.0,
+        )
+        ts = jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+        got = a(apply_ads(conf, ts))
+        # lerp(0, -2, t): crosses -1.0 at t=0.5 -> sustain_vel from there
+        np.testing.assert_allclose(got, [0.0, -0.5, 0.7, 0.7, 0.7],
+                                   atol=1e-6)
+        # and apply_adsr routes <= -1.0 into the release lerp instead
+        got2 = a(apply_adsr(conf, ts))
+        assert got2[0] == 0.0 and got2[1] == -0.5
+        # np oracle agrees
+        from termdaw_tpu.ops.adsr import np_apply_ads
+
+        np.testing.assert_allclose(
+            np_apply_ads(conf, np.asarray([0.0, 0.25, 0.5, 0.75, 1.0])),
+            [0.0, -0.5, 0.7, 0.7, 0.7], atol=1e-6,
+        )
+
     def test_build_conf(self):
         assert build_adsr_conf([]) == AdsrConf()
         c6 = build_adsr_conf([0.1, 0.2, 0.5, 0.3, 0.25, 0.4])

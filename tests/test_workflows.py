@@ -147,7 +147,7 @@ class TestUiWorkflow:
 
     def test_tick_maintains_lead(self, tmp_path):
         """tick() keeps LEAD_BLOCKS of generated audio ahead of the wall
-        clock (manual deviation 12), so a dispatch spike eats queued
+        clock (manual deviation 13), so a dispatch spike eats queued
         margin instead of starving the sink."""
         import time as _time
 

@@ -17,18 +17,8 @@ import bench  # noqa: E402
 def main() -> None:
     name = sys.argv[1] if len(sys.argv) > 1 else "c4_fullgraph"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    builders = {
-        "c1": bench.build_c1_sample_project,
-        "c2_negadsr": bench.build_c2_neg_adsr,
-        "c3_synths": bench.build_c3_synths,
-        "c4_fullgraph": bench.build_c4_fullgraph,
-        "c5_stream64": bench.build_c5_stream_mix,
-        "c6_stream256": lambda d, ls, sr, bl: bench.build_c5_stream_mix(
-            d, ls, sr, bl, n_tracks=256
-        ),
-    }
     tmp = Path(tempfile.mkdtemp(prefix="termdaw_chipcheck_"))
-    st = builders[name](tmp / name, 40.0, 48000, 1024)
+    st = bench.BUILDERS[name](tmp / name, 40.0, 48000, 1024)
     extra: dict = {}
     bench.measure_chip(st, 40.0, reps, name, extra, spread_guard=True)
     print(json.dumps(extra))

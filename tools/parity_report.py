@@ -326,8 +326,9 @@ def _shaped(sr, bl, nblocks):
 
 
 def main():
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r02"
     full = "--full" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tag = args[0] if args else "r02"
     import tempfile
 
     rng = np.random.default_rng(20260816)

@@ -9,13 +9,11 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 DIR="$(mktemp -d)"
 trap 'rm -rf "$DIR"' EXIT
 
-python - "$DIR" <<'EOF'
+python - "$DIR" "$REPO" <<'EOF'
 import sys
-sys.path.insert(0, sys.argv[0].rsplit("/", 1)[0])
 import pathlib
 import numpy as np
-repo = pathlib.Path(__file__).resolve()
-sys.path.insert(0, ".")
+sys.path.insert(0, sys.argv[2])  # the repo root, works from any cwd
 from termdaw_tpu.fileio.wav import write_wav
 d = pathlib.Path(sys.argv[1])
 sr = 16000
@@ -49,9 +47,9 @@ python "$REPO/tools/stream_gen.py" --duration "$DUR" --streams kick,snare,hat \
   | TERMDAW_SINK="file:$DIR/capture.wav" TERMDAW_STREAM_IDLE=3 \
     PYTHONPATH="$REPO" JAX_PLATFORMS=cpu python -m termdaw_tpu "$DIR"
 
-python - "$DIR" <<'EOF'
+python - "$DIR" "$REPO" <<'EOF'
 import sys, pathlib
-sys.path.insert(0, ".")
+sys.path.insert(0, sys.argv[2])  # the repo root, works from any cwd
 import numpy as np
 from termdaw_tpu.fileio.wav import read_wav
 d = pathlib.Path(sys.argv[1])
