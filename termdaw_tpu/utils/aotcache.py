@@ -81,14 +81,18 @@ def args_signature(args) -> tuple:
     )
 
 
-def _entry_path(key_repr: str, sig: tuple) -> Path | None:
+def _disk_cache_allowed() -> bool:
     # CPU-backend executables embed host machine features the fingerprint
     # cannot see (XLA logs "could lead to SIGILL" when loading an entry
     # from a different x86 feature set), and CPU compiles are cheap —
     # keep the disk AOT cache for accelerator backends only.
     import jax
 
-    if jax.devices()[0].platform == "cpu":
+    return jax.devices()[0].platform != "cpu"
+
+
+def _entry_path(key_repr: str, sig: tuple) -> Path | None:
+    if not _disk_cache_allowed():
         return None
     d = cache_dir()
     if d is None:
