@@ -160,7 +160,18 @@ class State:
         lua = self.lua
 
         def seed(name, vec, conv=lambda a: a):
-            lua.set_global(name, lambda *a: vec.append(conv(a)))
+            def handler(*a, _name=name, _vec=vec, _conv=conv):
+                try:
+                    item = _conv(a)
+                except (TypeError, ValueError, IndexError) as e:
+                    # name the failing API call instead of surfacing a
+                    # bare "IndexError: tuple index out of range"
+                    raise LuaError(
+                        f"bad arguments to '{_name}' ({e})"
+                    ) from None
+                _vec.append(item)
+
+            lua.set_global(name, handler)
 
         lua.set_global(
             "set_length",
