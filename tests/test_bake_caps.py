@@ -308,3 +308,60 @@ class TestProgramCacheLru:
         assert C._cache_get("b") is None
         assert C._cache_get("a") == "a"
         assert C._cache_get("d") == "d"
+
+    def test_evicted_programs_release_their_graph(self, tmp_path,
+                                                  monkeypatch):
+        """Compiled programs pin CompiledGraph (device sample buffers)
+        via their closures; once evicted, the old graph must become
+        collectable — the HBM-leak scenario across topology-changing
+        refreshes."""
+        import gc
+        import weakref
+
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.graph import compile as C
+        from termdaw_tpu.utils.fixtures import _drum
+
+        monkeypatch.setattr(C, "_PROGRAM_CACHE", {})
+        # small cap so each new topology fully evicts the previous
+        # graph's programs (a render mints ~2: render + scan window)
+        monkeypatch.setattr(C, "_PROGRAM_CACHE_CAP", 2)
+        d = tmp_path / "p"
+        d.mkdir()
+        sr, bl = 8000, 256
+        _drum(d / "hit.wav", sr, 0.05, 300.0, 30.0)
+        (d / "project.toml").write_text(
+            f'[settings]\nmain = "project.lua"\nbuffer_length = {bl}\n'
+            f"project_samplerate = {sr}\n"
+        )
+        refs = []
+        for n in range(2, 7):  # 5 distinct topologies
+            lines = [
+                "set_length(0.5);",
+                f"set_render_samplerate({sr});",
+                f'set_output_file("{d}/o.wav");',
+                f'load_sample("hit", "{d}/hit.wav", "");',
+                'add_normalize("sum", 1.0, 0.0);',
+            ]
+            for i in range(n):
+                lines += [
+                    f'add_sampleloop("t{i}", 1.0, 0.0, "hit");',
+                    f'connect("t{i}", "sum");',
+                ]
+            lines.append('set_output("sum");')
+            (d / "project.lua").write_text("\n".join(lines))
+            st = State(Config.read(d / "project.toml"), str(d))
+            st.refresh()
+            assert st.loaded
+            st.render()
+            refs.append(weakref.ref(st.compiled))
+            del st
+        assert len(C._PROGRAM_CACHE) <= 2
+        for _ in range(3):
+            gc.collect()
+        # the OLD graphs must be collectable once their programs evict
+        # (JAX runtime internals may briefly pin the most recent one or
+        # two beyond the newest; before the LRU, NONE ever released)
+        dead = sum(1 for r in refs[:-1] if r() is None)
+        assert dead >= len(refs) - 2, f"only {dead} old graphs released"
