@@ -159,6 +159,7 @@ class FlowwBank:
         """Route EVENTS packets into named streams; return TEXT messages
         (reference floww.rs:55-57 `unpacket`)."""
         msgs: list[str] = []
+        grouped: dict[int, list[np.ndarray]] = {}
         for pkt in packets:
             if pkt.kind == KIND_TEXT:
                 msgs.append(pkt.text)
@@ -167,10 +168,18 @@ class FlowwBank:
                 if idx is None:
                     msgs.append(f"unknown stream: {pkt.name}")
                     continue
-                ev = pkt.events if pkt.events is not None else np.zeros((0, 4), np.float32)
-                self.flowws[idx] = np.concatenate([self.flowws[idx], ev], axis=0)
-                self._frames_cache[idx] = None
-                self.version += 1
+                ev = pkt.events if pkt.events is not None \
+                    else np.zeros((0, 4), np.float32)
+                grouped.setdefault(idx, []).append(ev)
+        # one concatenate + one version bump per call (a dense feed used
+        # to pay an O(total) copy and a cache invalidation PER packet)
+        for idx, evs in grouped.items():
+            self.flowws[idx] = np.concatenate(
+                [self.flowws[idx], *evs], axis=0
+            )
+            self._frames_cache[idx] = None
+        if grouped:
+            self.version += 1
         return msgs
 
     def trim_streams(self) -> None:
