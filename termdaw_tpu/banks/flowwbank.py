@@ -25,6 +25,8 @@ usize` (floww.rs:107).
 
 from __future__ import annotations
 
+import itertools
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -82,6 +84,9 @@ class SimpleBake:
         return SimpleBake(np.zeros((0,), np.int64), np.zeros((0,), bool), z, z)
 
 
+_FB_UIDS = itertools.count()
+
+
 class FlowwBank:
     def __init__(self, sr: int, bl: int) -> None:
         self.sr = sr
@@ -98,6 +103,10 @@ class FlowwBank:
         # append); CompiledGraph.seed_caps uses it to skip redundant
         # full-schedule prebakes
         self.version = 0
+        # process-unique instance token: cache keys that outlive a bank
+        # (seed memos, pooled-event caches) must not key on id(fb),
+        # which the allocator can reuse after a bank is collected
+        self.uid = next(_FB_UIDS)
 
     def _event_frames(self, i: int) -> np.ndarray:
         """Cached event_frames per floww — the uncached version dominated

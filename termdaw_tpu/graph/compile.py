@@ -211,16 +211,15 @@ class CompiledGraph:
         # device-resident constants
         self.samples: list[jnp.ndarray] = []
         self.samples_padded: dict[int, jnp.ndarray] = {}  # pos -> [2, L+2bl]
+        host_padded: dict[int, np.ndarray] = {}  # numpy; uploaded once below
         sample_pos: dict[int, int] = {}
         self.wavetables: list[tuple[jnp.ndarray, jnp.ndarray]] = []
-        import os as _os
-
         self.pallas_interpret = (
-            _os.environ.get("TERMDAW_PALLAS_INTERPRET", "0") == "1"
+            os.environ.get("TERMDAW_PALLAS_INTERPRET", "0") == "1"
         )
         self.use_pallas = self.pallas_interpret or (
             jax.default_backend() == "tpu"
-            and _os.environ.get("TERMDAW_PALLAS", "1") == "1"
+            and os.environ.get("TERMDAW_PALLAS", "1") == "1"
         )
         # read once at build; part of the program-cache spec and pinned
         # while tracing (ADVICE r2: a mid-process env toggle must not serve
@@ -242,12 +241,17 @@ class CompiledGraph:
                 kw["sample_pos"] = sample_pos[si]
                 kw["sample_len"] = len(sample_bank.get_sample(si))
                 if v.kind == G.SAMPLEMULTI and kw["sample_pos"] not in (
-                    self.samples_padded
+                    host_padded
                 ):
-                    from ..ops.pallas_voices import make_padded_sample
-
-                    self.samples_padded[kw["sample_pos"]] = make_padded_sample(
-                        self.samples[kw["sample_pos"]], bl
+                    # pad HOST-side (numpy) and upload once below: an
+                    # eager jnp.pad here pays a per-op remote compile +
+                    # dispatch on every refresh (CLAUDE.md: everything
+                    # JAX must run under jit). Layout matches
+                    # ops/pallas_voices.make_padded_sample.
+                    harr = sample_bank.get_sample(si).as_array()
+                    host_padded[kw["sample_pos"]] = np.pad(
+                        np.asarray(harr, np.float32).T,
+                        ((0, 0), (bl, bl + 256)),
                     )
             if v.kind in (
                 G.SAMPLEMULTI, G.SAMPLELERP, G.DEBUGSINE, G.SYNTH,
@@ -344,7 +348,7 @@ class CompiledGraph:
             bases, off = {}, 0
             for p in poses:
                 bases[p] = off
-                off += int(self.samples_padded[p].shape[1])
+                off += int(host_padded[p].shape[1])
             self._fused_layout[c] = (tuple(poses), bases)
 
         # cross-refresh program-cache key: the jitted window programs depend
@@ -408,7 +412,7 @@ class CompiledGraph:
         # window ever overflows. TERMDAW_VOICE_CAP=n instead HARD-caps
         # per-block polyphony with documented oldest-voice steal
         # (SURVEY §7 overflow policy).
-        vc = _os.environ.get("TERMDAW_VOICE_CAP", "")
+        vc = os.environ.get("TERMDAW_VOICE_CAP", "")
         self.voice_cap = int(vc) if vc.isdigit() and int(vc) > 0 else None
         self.bake_caps: dict[str, dict[str, int]] = {}
         for vi in self.order:
@@ -426,11 +430,14 @@ class CompiledGraph:
         # fused groups get their concatenated buffer built ONCE here (a
         # device array passed like any other sample) instead of
         # re-concatenating inside the traced window program on every
-        # window execution.
+        # window execution. All layout work happens in numpy; each buffer
+        # is ONE upload (no eager device ops at build).
+        for pos, hp in host_padded.items():
+            self.samples_padded[pos] = jnp.asarray(hp)
         for c, (poses, _bases) in self._fused_layout.items():
             if len(poses) > 1:
-                self.samples_padded[("fused", c)] = jnp.concatenate(
-                    [self.samples_padded[p] for p in poses], axis=1
+                self.samples_padded[("fused", c)] = jnp.asarray(
+                    np.concatenate([host_padded[p] for p in poses], axis=1)
                 )
         self.padded_order = tuple(
             sorted(self.samples_padded, key=lambda k: (isinstance(k, tuple), k))
@@ -486,26 +493,36 @@ class CompiledGraph:
         if total_blocks <= 0 or not self.carries:
             return
         fused = self.use_pallas if fused is None else fused
-        sig = (id(fb), fb.version, total_blocks, step, fused)
+        # fb.uid, not id(fb): the allocator can reuse a collected bank's
+        # address, and a false memo hit here silently skips cap seeding
+        # (bringing back the per-window program re-specialization)
+        sig = (fb.uid, fb.version, total_blocks, step, fused)
         if getattr(self, "_seeded_sigs", None) is None:
             self._seeded_sigs = set()
         if sig in self._seeded_sigs:
             return  # schedule unchanged since the last seed — nothing new
         saved_frame = fb.frame
         fb.set_time(0)
-        carries = {
-            vi: self._fresh_carry(self.statics[vi].kind)
-            for vi in self.carries
-        }
-        t, left = 0, total_blocks
-        while left > 0:
-            nb = min(left, step)
-            _, nc = self._bake_all(fb, t, nb, fused=fused, carries=carries)
-            carries.update(nc)
-            fb.advance_blocks(nb)
-            t += nb * self.bl
-            left -= nb
-        fb.set_time(saved_frame)
+        try:
+            carries = {
+                vi: self._fresh_carry(self.statics[vi].kind)
+                for vi in self.carries
+            }
+            t, left = 0, total_blocks
+            while left > 0:
+                nb = min(left, step)
+                _, nc = self._bake_all(
+                    fb, t, nb, fused=fused, carries=carries
+                )
+                carries.update(nc)
+                fb.advance_blocks(nb)
+                t += nb * self.bl
+                left -= nb
+        finally:
+            # an interrupt mid-prebake must not leave the bank's cursor
+            # desynced from graph time (the next render would bake
+            # events anchored at the wrong frame)
+            fb.set_time(saved_frame)
         self._seeded_sigs.add(sig)
 
     # -- normalization controls (reference graph.rs:195-220) ---------------
@@ -841,8 +858,10 @@ class CompiledGraph:
         note filter — a same-frame other-note hit swallows the slot,
         reference floww.rs:99-121 + extensions.rs:353-356), then the
         consumer's note filter."""
+        # key on (bank uid, version): version counters are per-bank, so a
+        # DIFFERENT bank at the same version must not hit this cache
         cached = self._pool_cache.get(consumer)
-        if cached is not None and cached[0] == fb.version:
+        if cached is not None and cached[0] == (fb.uid, fb.version):
             return cached[1]
         fl, vl, ml = [], [], []
         for mi, m in enumerate(members):
@@ -851,7 +870,7 @@ class CompiledGraph:
             if i >= len(fb.flowws):
                 continue
             if not fb._frames_sorted(i):
-                self._pool_cache[consumer] = (fb.version, None)
+                self._pool_cache[consumer] = ((fb.uid, fb.version), None)
                 return None
             ev = fb.flowws[i]
             f = fb._event_frames(i)
@@ -880,7 +899,7 @@ class CompiledGraph:
                 np.zeros(0, np.int64), np.zeros(0, np.float32),
                 np.zeros(0, np.int32),
             )
-        self._pool_cache[consumer] = (fb.version, pool)
+        self._pool_cache[consumer] = ((fb.uid, fb.version), pool)
         return pool
 
     def _bake_fused_group(
@@ -1101,8 +1120,7 @@ class CompiledGraph:
         else:
             dev = jax.lax.axis_index(axis_name).astype(jnp.int32)
             frames = t0 + dev * T + jnp.arange(T, dtype=jnp.int32)
-        T_ = nb * bl
-        time2d = jax.lax.dynamic_slice(ttab, (frames[0],), (T_,)).reshape(
+        time2d = jax.lax.dynamic_slice(ttab, (frames[0],), (T,)).reshape(
             nb, bl
         )
         ib = jax.lax.slice(ttab, (0,), (bl,))  # f32(i)/f32(sr), i in block

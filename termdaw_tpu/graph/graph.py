@@ -89,12 +89,23 @@ class Graph:
         if not self.vertices[b].has_input:
             return False
 
-        def has_loop(x: int, target: int) -> bool:
-            if x == target:
-                return True
-            return any(has_loop(y, target) for y in self.in_edges[x])
-
-        if has_loop(a, b):
+        # iterative DFS with a visited set: the reference's recursion
+        # (graph.rs:66-72) is native Rust and exponential on diamonds;
+        # a Python recursion would RecursionError on ~300-deep chains
+        # (same accept/reject answer, so behavior matches)
+        stack = [a]
+        seen = set()
+        found = False
+        while stack:
+            x = stack.pop()
+            if x == b:
+                found = True
+                break
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(self.in_edges[x])
+        if found:
             return False
         self.in_edges[b].append(a)
         return True
@@ -146,34 +157,41 @@ class Graph:
         if self.output_vertex is None:
             return set()
         seen: set[int] = set()
-
-        def walk(x: int) -> None:
+        stack = [self.output_vertex]
+        while stack:  # iterative: deep chains must not RecursionError
+            x = stack.pop()
             if x in seen:
-                return
+                continue
             seen.add(x)
-            for y in self.in_edges[x]:
-                walk(y)
-
-        walk(self.output_vertex)
+            stack.extend(self.in_edges[x])
         return seen
 
     def topo_order(self) -> list[int]:
         """Post-order DFS from the output — the reference's run_vertex
-        recursion order (graph.rs:98-121), so input summation order matches."""
+        recursion order (graph.rs:98-121), so input summation order
+        matches. Iterative (explicit stack) so a ~1000-vertex chain
+        cannot hit Python's recursion limit; emission order is identical
+        to the recursive form: children first, in in_edges order."""
         if self.output_vertex is None:
             return []
         order: list[int] = []
         seen: set[int] = set()
-
-        def walk(x: int) -> None:
-            if x in seen:
-                return
-            seen.add(x)
-            for y in self.in_edges[x]:
-                walk(y)
-            order.append(x)
-
-        walk(self.output_vertex)
+        # (vertex, next-child-index) frames — exactly the recursion
+        stack: list[list[int]] = [[self.output_vertex, 0]]
+        seen.add(self.output_vertex)
+        while stack:
+            frame = stack[-1]
+            x, ci = frame
+            kids = self.in_edges[x]
+            while ci < len(kids) and kids[ci] in seen:
+                ci += 1
+            frame[1] = ci + 1
+            if ci < len(kids):
+                seen.add(kids[ci])
+                stack.append([kids[ci], 0])
+            else:
+                order.append(x)
+                stack.pop()
         return order
 
     # -- time cursor (reference graph.rs:123-139) ---------------------------

@@ -73,3 +73,25 @@ class TestGraph:
         v = VertexDecl("v", G.BANDPASS, angle=135.0, wet=2.5)
         assert v.angle == 90.0
         assert v.wet == 1.0
+
+
+def test_deep_chain_no_recursion_error():
+    """A ~1200-vertex generated chain must connect, cycle-check, and
+    topo-sort without hitting Python's recursion limit (the reference's
+    native recursion handles this depth; ours must too)."""
+    from termdaw_tpu.graph import graph as G
+    from termdaw_tpu.graph.graph import Graph, VertexDecl
+
+    g = Graph(256, 8000)
+    n = 1200
+    for i in range(n):
+        g.add(VertexDecl(f"v{i}", G.SUM))
+    for i in range(n - 1):
+        assert g.connect(f"v{i}", f"v{i+1}")
+    # closing the loop must be rejected, not crash
+    assert not g.connect(f"v{n-1}", "v0")
+    g.set_output(f"v{n-1}")
+    order = g.topo_order()
+    assert len(order) == n
+    assert order[0] == 0 and order[-1] == n - 1
+    assert len(g.reachable_set()) == n
