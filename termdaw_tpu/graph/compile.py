@@ -638,6 +638,33 @@ class CompiledGraph:
         self.graph.t = self.t
         return audio
 
+    def window_cost(self, fb: FlowwBank, nb: int,
+                    is_scan: bool = False) -> dict | None:
+        """XLA's cost analysis of the exact compiled window program that
+        `render_window(fb, nb)` would dispatch at the current time, or
+        None when unavailable (fallback jit path, backend without cost
+        analysis). Used by the bench's roofline accounting — it answers
+        "how many flops / bytes does one window cost" with the compiler's
+        own count instead of a hand model. Does not advance time or
+        carried state. NOTE: "bytes accessed" is XLA's logical count
+        (gathers/scans are inflated vs physical HBM traffic); treat the
+        derived bandwidth as an upper estimate."""
+        t0 = self.t
+        bakes, _ = self._bake_all(fb, t0, nb, fused=self.use_pallas)
+        ints_buf, floats_buf, layout = _pack_bakes(bakes)
+        fx_vec, fx_layout = self._pack_fx()
+        fn = self._get_fn(nb, is_scan, layout, fx_layout)
+        compiled = getattr(fn, "_compiled", None)
+        if compiled is None:
+            return None
+        try:
+            ca = compiled.cost_analysis()
+        except Exception:
+            return None
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return dict(ca) if ca else None
+
     def _pack_fx(self) -> tuple[np.ndarray, tuple]:
         """Traced effect parameters as one f32 vector + static layout.
         Static params (EffectDef.static_params) are excluded — they were

@@ -43,8 +43,12 @@ def cache_dir() -> Path | None:
     env = os.environ.get("TERMDAW_COMPILE_CACHE", "")
     if env == "0":
         return None
-    root = env or os.path.expanduser("~/.cache/termdaw_tpu/xla")
-    p = Path(root) / "aot"
+    if not env:
+        from .jaxcache import host_fingerprint
+
+        env = os.path.expanduser(f"~/.cache/termdaw_tpu/xla-"
+                                 f"{host_fingerprint()}")
+    p = Path(env) / "aot"
     try:
         p.mkdir(parents=True, exist_ok=True)
     except OSError:

@@ -12,14 +12,38 @@ path.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def host_fingerprint() -> str:
+    """Short hash of this host's CPU feature set. XLA:CPU cache entries
+    embed the compile machine's features and loading them on a host with
+    a different set risks SIGILL (observed across harness rounds: the
+    loader warns 'prefer-no-scatter is not supported on the host
+    machine'); keying the cache directory by host features makes stale
+    cross-host CPU entries unreachable. TPU executables live tunnel-side
+    and don't care, so sharing the suffixed dir costs nothing."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = line
+                    break
+            else:
+                feats = "unknown"
+    except OSError:
+        feats = "unknown"
+    return hashlib.blake2b(feats.encode(), digest_size=4).hexdigest()
 
 
 def enable_persistent_compile_cache() -> str | None:
     env = os.environ.get("TERMDAW_COMPILE_CACHE", "")
     if env == "0":
         return None
-    path = env or os.path.expanduser("~/.cache/termdaw_tpu/xla")
+    path = env or os.path.expanduser(
+        f"~/.cache/termdaw_tpu/xla-{host_fingerprint()}"
+    )
     try:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -1,0 +1,143 @@
+"""Roofline / utilization accounting for the bench (VERDICT r3 item 4).
+
+Answers "is it actually fast or just correct?" with hardware math: per
+bench config, total the flops and bytes of the exact compiled window
+programs (XLA's own `Compiled.cost_analysis()`, via
+`CompiledGraph.window_cost`), add the streamed-resample matmul
+analytically (it runs in separate jits that the window programs don't
+see), divide by the measured chip render time, and compare against the
+chip's public peaks.
+
+Caveats, stated where the numbers land (docs/perf.md "Roofline"):
+  * XLA's "bytes accessed" is a LOGICAL count — gathers and scans are
+    inflated vs physical HBM traffic — so the derived GB/s is an upper
+    estimate of demand, not a DMA measurement.
+  * flops are counted at the HLO level; the engine computes in f32 with
+    `Precision.HIGHEST` (CLAUDE.md), which the MXU executes as multiple
+    bf16 passes, so f32 utilization vs the bf16 peak is the honest
+    ceiling statement.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# public peak numbers per device kind: (bf16 TFLOP/s, HBM GB/s).
+# Sources: cloud.google.com/tpu/docs system architecture pages.
+_PEAKS = {
+    "v4": (275.0, 1228.0),
+    "v5e": (197.0, 819.0),
+    "v5litepod": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v6e": (918.0, 1640.0),
+    "trillium": (918.0, 1640.0),
+}
+
+
+def chip_peaks(device) -> tuple[float, float] | None:
+    """(peak TFLOP/s bf16, peak HBM GB/s) for the device, or None when
+    unknown (CPU backend, unrecognized kind)."""
+    kind = str(getattr(device, "device_kind", "")).lower().replace(" ", "")
+    if getattr(device, "platform", "") == "cpu":
+        return None
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def _window_counts(st) -> dict[int, int]:
+    """Window sizes a single-device render uses, as {nb: count} — the same
+    loop shape as State.render_device (engine/state.py:631-635)."""
+    left = st.cs
+    counts: dict[int, int] = {}
+    _, _, step = st._mesh_plan()
+    while left > 0:
+        nb = st._pick_nb(left, step, 1)
+        counts[nb] = counts.get(nb, 0) + 1
+        left -= nb
+    return counts
+
+
+def _resampler_flops(st, length_sec: float) -> float:
+    """Analytic flops of the streamed polyphase resample (one 256-tap dot
+    per output frame per channel; ops/resample.py SINC_LEN) — it runs in
+    its own jits, outside the window programs cost_analysis sees."""
+    from ..ops.resample import SINC_LEN
+
+    psr = st.config.settings.project_samplerate
+    if psr <= st.render_sr:
+        return 0.0
+    out_frames = length_sec * st.render_sr
+    return out_frames * SINC_LEN * 2 * 2  # taps x channels x (mul+add)
+
+
+def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
+    """Per-config achieved GFLOP/s and logical GB/s over the measured chip
+    render time, plus utilization vs chip peaks when known."""
+    counts = _window_counts(st)
+    cg = st.compiled
+    _, _, step = st._mesh_plan()
+    cg.seed_caps(st.fb, st.cs, step)
+    cg.set_time(0)
+    st.fb.set_time(0)
+    flops = 0.0
+    byts = 0.0
+    for nb, cnt in sorted(counts.items()):
+        ca = cg.window_cost(st.fb, nb)
+        if ca is None:
+            return None
+        flops += float(ca.get("flops", 0.0)) * cnt
+        byts += float(ca.get("bytes accessed", 0.0)) * cnt
+    cg.set_time(0)
+    st.fb.set_time(0)
+    flops += _resampler_flops(st, length_sec)
+    out = {
+        "gflops_per_s": round(flops / chip_s / 1e9, 1),
+        "hbm_gbps_logical": round(byts / chip_s / 1e9, 1),
+        "window_gflops": round(flops / 1e9, 2),
+        "window_gbytes_logical": round(byts / 1e9, 2),
+    }
+    import jax
+
+    peaks = chip_peaks(jax.devices()[0])
+    if peaks is not None:
+        peak_tflops, peak_gbps = peaks
+        out["mxu_util_pct"] = round(
+            flops / chip_s / (peak_tflops * 1e12) * 100.0, 2
+        )
+        out["hbm_util_pct"] = round(
+            byts / chip_s / (peak_gbps * 1e9) * 100.0, 2
+        )
+        # which wall is closer at this op intensity (logical-bytes caveat
+        # applies): the bound whose utilization is higher
+        out["bound"] = ("hbm" if out["hbm_util_pct"] >= out["mxu_util_pct"]
+                        else "mxu")
+    return out
+
+
+def roofline_extras(states: dict, extra: dict, length_sec: float) -> None:
+    """Fill extra["c*_util"] for every measured config (bench.py child)."""
+    for name, st in states.items():
+        chip_ms = extra.get(f"{name}_chip_p50_ms")
+        if chip_ms is None:
+            continue
+        try:
+            util = config_roofline(st, chip_ms / 1e3, length_sec)
+        except Exception as e:
+            extra[f"{name}_util_error"] = str(e)[:200]
+            continue
+        if util is None:
+            extra[f"{name}_util_error"] = "cost analysis unavailable"
+            continue
+        extra[f"{name}_util"] = util
+        log(f"{name}: {util['gflops_per_s']} GFLOP/s, "
+            f"{util['hbm_gbps_logical']} GB/s logical"
+            + (f" -> {util.get('mxu_util_pct')}% MXU / "
+               f"{util.get('hbm_util_pct')}% HBM ({util.get('bound')}-bound)"
+               if "bound" in util else ""))
