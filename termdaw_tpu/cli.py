@@ -14,6 +14,11 @@ from pathlib import Path
 from .config import Config, WorkFlow
 from .engine.sink import make_sink
 from .engine.state import State
+from .utils.backend import (
+    BackendUnavailable,
+    apply_platform_override,
+    ensure_backend,
+)
 from .utils.jaxcache import enable_persistent_compile_cache
 from .utils.term import DEFAULT, BLUE, RED
 from .workflows.stream import run_stream_workflow
@@ -22,6 +27,7 @@ from .workflows.ui import run_ui_workflow
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    apply_platform_override(argv)
     wdir = argv[0] if argv else "./"
     enable_persistent_compile_cache()
     try:
@@ -60,6 +66,26 @@ def main(argv: list[str] | None = None) -> int:
 
     proj_sr = config.settings.project_samplerate
     buffer_len = config.settings.buffer_length
+
+    # bounded backend init BEFORE the first device contact: a hung or
+    # dead accelerator must become an actionable message within
+    # TERMDAW_INIT_TIMEOUT_S, never a silent 25-minute hang (the init
+    # thread stays parked in the PJRT call, so exit hard - a normal
+    # return would wait on interpreter teardown)
+    try:
+        devs = ensure_backend()
+    except BackendUnavailable:
+        sys.stderr.flush()
+        sys.stdout.flush()
+        import os
+
+        os._exit(1)
+    if devs:
+        print(
+            f"{DEFAULT}TermDaw: accelerator backend ready: "
+            f"{BLUE}{devs[0].platform}{DEFAULT} "
+            f"({len(devs)} device(s)).{DEFAULT}"
+        )
 
     state = State(config, wdir)
     state.refresh()

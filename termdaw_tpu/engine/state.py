@@ -115,6 +115,16 @@ class State:
     # ------------------------------------------------------------------ refresh
     def refresh(self) -> None:
         self.loaded = False
+        # library-path guard (cli.main checks earlier for a clean exit
+        # code): a dead accelerator aborts the refresh with a diagnostic
+        # within TERMDAW_INIT_TIMEOUT_S instead of hanging the first
+        # device contact inside CompiledGraph
+        from ..utils.backend import BackendUnavailable, ensure_backend
+
+        try:
+            ensure_backend()
+        except BackendUnavailable:
+            return
         try:
             with span("refresh"):
                 self._refresh_inner()
