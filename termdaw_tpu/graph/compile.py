@@ -616,8 +616,7 @@ class CompiledGraph:
         )
 
         fn = self._get_fn(nb, is_scan, layout, fx_layout)
-        filters._EXACT_BIQUAD_OVERRIDE = self.exact_biquad
-        try:
+        with filters.exact_biquad_scope(self.exact_biquad):
             new_state, audio = fn(
                 self.num_state,
                 (self._gains, self._angles, self._wets),
@@ -630,8 +629,6 @@ class CompiledGraph:
                 np.int32(t0),
                 ttab,
             )
-        finally:
-            filters._EXACT_BIQUAD_OVERRIDE = None
         self.num_state = new_state
         self.carries.update(new_carries)
         self.t = t0 + nb * self.bl

@@ -475,7 +475,31 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         "math": mathlib,
         "string": stringlib,
         "table": tablelib,
+        # deliberate subset boundary: any use of the coroutine library
+        # fails with a purposeful message instead of "attempt to index a
+        # nil value" (SURVEY §2b accepts the subset; VERDICT r3 item 9
+        # asks that its edges fail clearly)
+        "coroutine": _unsupported_lib(
+            "coroutine",
+            "coroutines are not supported by termdaw_tpu's Lua "
+            "(deliberate subset; restructure with plain functions)",
+        ),
     }
+
+
+def _unsupported_lib(name: str, message: str) -> LuaTable:
+    """An empty library table whose every field access raises a clear
+    'not supported' LuaError (so `coroutine.create(...)` is catchable by
+    pcall, like any Lua runtime error)."""
+    t = LuaTable()
+    mt = LuaTable()
+
+    def _raise(_obj, key):
+        raise LuaError(f"'{name}.{key}': {message}")
+
+    mt.hash["__index"] = _raise
+    t.metatable = mt
+    return t
 
 
 import random as _random_mod

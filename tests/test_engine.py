@@ -373,3 +373,92 @@ def test_render_chunk_blocks_divisor_selection():
             total += nb
             left -= nb
         assert total == cs
+
+
+class TestExactBiquadScoping:
+    """The exact-biquad pin is a ContextVar scope, not a module global
+    (VERDICT r3 weak 8): graphs built with different TERMDAW_EXACT_BIQUAD
+    values can render CONCURRENTLY without tracing under each other's
+    setting. Exact-scan and pole-cascade outputs differ by ~3e-5, so a
+    leaked pin shows up as a bit-level mismatch vs the isolated render."""
+
+    LUA = """
+        set_length(0.25);
+        set_output_file("{out}");
+        load_sample("tone", "{d}/tone.wav", "");
+        load_lv2("eq", "native:eq3");
+        parameter("eq", "low gain", 5.0);
+        add_sampleloop("loop", 1.0, 0.0, "tone");
+        add_lv2fx("fx", 1.0, 0.0, 1.0, "eq");
+        connect("loop", "fx");
+        set_output("fx");
+    """
+
+    def _build(self, d, exact, monkeypatch):
+        d.mkdir(exist_ok=True)
+        tone_wav(d / "tone.wav", freq=800.0, dur=0.1)
+        monkeypatch.setenv("TERMDAW_EXACT_BIQUAD", "1" if exact else "0")
+        st = make_project(
+            d, self.LUA.format(out=d / "o.wav", d=d),
+        )
+        st.refresh()
+        assert st.loaded
+        assert st.compiled.exact_biquad is exact
+        return st
+
+    @staticmethod
+    def _render(st):
+        st.compiled.set_time(0)
+        st.fb.set_time(0)
+        out = np.asarray(st.compiled.render_window(st.fb, 4))
+        st.compiled.set_time(0)
+        st.fb.set_time(0)
+        return out
+
+    @pytest.mark.slow
+    def test_concurrent_graphs_do_not_cross_contaminate(
+        self, tmp_path, monkeypatch
+    ):
+        import threading
+
+        from termdaw_tpu.graph import compile as gc
+
+        # reference outputs: FIRST render of a fresh graph per setting
+        # (fx state carries across renders, so only first renders of
+        # identically built graphs are comparable bit-for-bit)
+        ref_exact = self._render(
+            self._build(tmp_path / "a", True, monkeypatch)
+        )
+        ref_casc = self._render(
+            self._build(tmp_path / "b", False, monkeypatch)
+        )
+        # the two strategies genuinely differ (else this test proves nothing)
+        assert not np.array_equal(ref_exact, ref_casc)
+
+        for rnd in range(2):
+            st_exact = self._build(
+                tmp_path / f"a{rnd}", True, monkeypatch
+            )
+            st_casc = self._build(
+                tmp_path / f"b{rnd}", False, monkeypatch
+            )
+            # force BOTH graphs to retrace under thread contention: clear
+            # the shared program cache, then race the first renders
+            gc._PROGRAM_CACHE.clear()
+            results: dict = {}
+            barrier = threading.Barrier(2)
+
+            def run(tag, st):
+                barrier.wait()
+                results[tag] = self._render(st)
+
+            threads = [
+                threading.Thread(target=run, args=("exact", st_exact)),
+                threading.Thread(target=run, args=("casc", st_casc)),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            np.testing.assert_array_equal(results["exact"], ref_exact)
+            np.testing.assert_array_equal(results["casc"], ref_casc)

@@ -379,3 +379,39 @@ def test_table_border_cache():
     assert rt.get_global("n3") == 1999
     assert rt.get_global("n4") == 1
     assert rt.get_global("n5") == 3
+
+
+class TestSubsetBoundaries:
+    """Unsupported Lua 5.3 constructs fail with DELIBERATE messages and
+    line numbers (VERDICT r3 item 9), not confusing generic errors. The
+    reference embeds real Lua via mlua (Cargo.toml:13); our first-party
+    interpreter covers what the project scripts need and must make its
+    edges obvious."""
+
+    def test_goto_is_a_clear_error(self):
+        with pytest.raises(LuaError, match=r"line 3.*'goto' is not supported"):
+            run("x = 1\nwhile x < 3 do\n  goto continue\n  x = x + 1\nend")
+
+    def test_label_is_a_clear_error(self):
+        with pytest.raises(LuaError, match=r"line 2.*labels.*not supported"):
+            run("y = 0\n::top::\ny = y + 1")
+
+    def test_coroutine_use_is_a_clear_error(self):
+        with pytest.raises(
+            LuaError, match=r"'coroutine\.create'.*not supported"
+        ):
+            run("co = coroutine.create(function() return 1 end)")
+
+    def test_coroutine_error_is_pcall_trappable(self):
+        rt = run(
+            """
+            ok, err = pcall(function() return coroutine.wrap(print) end)
+            """
+        )
+        assert rt.get_global("ok") is False
+        assert "coroutine.wrap" in rt.get_global("err")
+
+    def test_coroutine_table_itself_is_inert(self):
+        # only USING it errors; `type(coroutine)` and truthiness behave
+        rt = run("t = type(coroutine)")
+        assert rt.get_global("t") == "table"
