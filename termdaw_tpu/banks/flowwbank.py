@@ -107,6 +107,109 @@ class FlowwBank:
         # (seed memos, pooled-event caches) must not key on id(fb),
         # which the allocator can reuse after a bank is collected
         self.uid = next(_FB_UIDS)
+        # pooled cursor index over the SORTED flowws (see _cursor_pool):
+        # (version, flowws-identity snapshot, data)
+        self._cursor_pool_cache: tuple | None = None
+
+    # pooled-cursor segment stride: one searchsorted over all sorted
+    # flowws at once works by offsetting floww i's frames (and queries)
+    # by i * STRIDE; any frame or query at/above it falls back to the
+    # per-floww loop. 2^44 frames ~ 11.6 years at 48 kHz.
+    _POOL_STRIDE = 1 << 44
+    # below this many flowws the per-floww loop is already microseconds;
+    # keep small projects on the simplest path
+    _POOL_MIN_FLOWWS = 16
+
+    def _cursor_pool(self):
+        """Vectorized cursor index over every time-sorted floww: one
+        np.searchsorted on a single concatenated key array answers
+        "first event at/after t" for ALL of them at once. The per-floww
+        Python loop in set_time/advance_blocks cost ~27 us per floww per
+        call — at 256+ tracks that dominated render host time and at
+        1024 streams it exceeded the 21.3 ms playback block budget by
+        itself. Returns None (use the loop) for small banks or when any
+        frame exceeds the segment stride; unsorted flowws are listed for
+        the caller to handle with the existing per-floww code."""
+        if len(self.flowws) < self._POOL_MIN_FLOWWS:
+            return None
+        c = self._cursor_pool_cache
+        # tuple equality short-circuits on per-element IDENTITY (CPython
+        # PyObject_RichCompareBool), so unchanged event arrays never
+        # compare elementwise — this guards direct `fb.flowws[i] = new`
+        # replacement (the supported external mutation path, see
+        # _event_frames) at C speed
+        if c is not None and c[0] == self.version:
+            try:
+                same = c[1] == tuple(self.flowws)
+            except ValueError:
+                # a replaced (non-identical) array makes tuple == fall
+                # through to ndarray.__eq__, whose truth value raises —
+                # which itself proves the bank changed
+                same = False
+            if same:
+                return c[2]
+        sorted_idx: list[int] = []
+        unsorted_idx: list[int] = []
+        parts: list[np.ndarray] = []
+        lens: list[int] = []
+        lasts: list[int] = []
+        for i in range(len(self.flowws)):
+            f = self._event_frames(i)
+            if self._frames_cache[i][2]:
+                sorted_idx.append(i)
+                parts.append(f)
+                lens.append(len(f))
+                lasts.append(int(f[-1]) if len(f) else -1)
+            else:
+                unsorted_idx.append(i)
+        data = None
+        if sorted_idx:
+            nev = np.asarray(lens, np.int64)
+            offsets = np.zeros(len(sorted_idx) + 1, np.int64)
+            np.cumsum(nev, out=offsets[1:])
+            pooled = (
+                np.concatenate(parts).astype(np.int64, copy=False)
+                if offsets[-1] else np.zeros(0, np.int64)
+            )
+            if len(pooled) and int(pooled.max()) >= self._POOL_STRIDE:
+                data = None  # out-of-range frames: loop path handles all
+            else:
+                seg_base = (
+                    np.arange(len(sorted_idx), dtype=np.int64)
+                    * self._POOL_STRIDE
+                )
+                keyed = pooled + np.repeat(seg_base, nev)
+                data = (
+                    np.asarray(sorted_idx, np.int64),
+                    unsorted_idx,
+                    keyed,
+                    offsets[:-1],
+                    nev,
+                    np.asarray(lasts, np.int64),
+                    seg_base,
+                )
+        elif unsorted_idx:
+            data = (
+                np.zeros(0, np.int64), unsorted_idx, np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+            )
+        self._cursor_pool_cache = (self.version, tuple(self.flowws), data)
+        return data
+
+    def _pool_starts(self, si: np.ndarray) -> np.ndarray:
+        # np.array(list) + fancy-index is C-speed; a fromiter generator
+        # over 1024 flowws cost ~1 ms per call and dominated the pooled
+        # path
+        return np.asarray(self.start_indices, np.int64)[si]
+
+    def _pool_writeback(self, si: np.ndarray, old: np.ndarray,
+                        new: np.ndarray) -> None:
+        if np.array_equal(new, old):
+            return
+        arr = np.asarray(self.start_indices, np.int64)
+        arr[si] = new
+        self.start_indices[:] = arr.tolist()
 
     def _event_frames(self, i: int) -> np.ndarray:
         """Cached event_frames per floww — the uncached version dominated
@@ -206,7 +309,23 @@ class FlowwBank:
 
     # -- time cursor (reference floww.rs:70-96) ----------------------------
     def _set_start_indices_to_frame(self, t_frame: int, do_skip: bool) -> None:
-        for i in range(len(self.flowws)):
+        idxs = range(len(self.flowws))
+        pool = (
+            self._cursor_pool()
+            if 0 <= t_frame < self._POOL_STRIDE else None
+        )
+        if pool is not None:
+            si, unsorted_idx, keyed, offs, nev, _lasts, seg = pool
+            if len(si):
+                s0 = self._pool_starts(si)
+                skip = s0 if do_skip else np.zeros(len(si), np.int64)
+                k = np.searchsorted(keyed, seg + t_frame, "left") - offs
+                new = np.where(
+                    k < nev, np.where(k >= skip, k, skip), s0
+                )
+                self._pool_writeback(si, s0, new)
+            idxs = unsorted_idx
+        for i in idxs:
             skip = self.start_indices[i] if do_skip else 0
             frames = self._event_frames(i)
             if self._frames_cache[i][2]:  # sorted: binary search
@@ -245,7 +364,32 @@ class FlowwBank:
         if n <= 0:
             return
         t_final = self.frame + n * self.bl
-        for i in range(len(self.flowws)):
+        idxs = range(len(self.flowws))
+        pool = (
+            self._cursor_pool()
+            if 0 <= self.frame and t_final < self._POOL_STRIDE else None
+        )
+        if pool is not None:
+            si, unsorted_idx, keyed, offs, nev, lasts, seg = pool
+            if len(si):
+                s0 = self._pool_starts(si)
+                new = s0.copy()
+                active = s0 < nev
+                k = np.searchsorted(keyed, seg + t_final, "left") - offs
+                case_a = active & (k < nev)
+                new[case_a] = np.maximum(s0[case_a], k[case_a])
+                kb = (lasts - self.frame) // self.bl
+                case_b = active & (k >= nev) & (kb >= 1)
+                if case_b.any():
+                    tk = self.frame + kb[case_b] * self.bl
+                    k2 = (
+                        np.searchsorted(keyed, seg[case_b] + tk, "left")
+                        - offs[case_b]
+                    )
+                    new[case_b] = np.maximum(s0[case_b], k2)
+                self._pool_writeback(si, s0, new)
+            idxs = unsorted_idx
+        for i in idxs:
             frames = self._event_frames(i)
             s0 = self.start_indices[i]
             nev = len(frames)

@@ -257,3 +257,87 @@ class TestSortedBakeFastPath:
         bake = fb.bake_drum(0, 2)
         # block 0: event@15 out of range; block 1: 15 hits, then 5 is stale
         np.testing.assert_array_equal(bake.frames, [15])
+
+
+class TestStreamRebake:
+    """The live-feed path (VERDICT r3 item 5): a packet appended to a
+    stream must reach the very next rendered window (incremental re-bake
+    via the FlowwBank version bump) WITHOUT minting a new compiled
+    program (bake layouts are cap-pinned; a feed that recompiled would
+    stall the stream workflow for seconds)."""
+
+    def _project(self, tmp_path, n_tracks=4, sr=8000, bl=256):
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.utils.fixtures import _drum
+
+        _drum(tmp_path / "hit.wav", sr, 0.05, 300.0, 30.0)
+        lines = [
+            "set_length(2.0);",
+            f"set_render_samplerate({sr});",
+            'set_output_file("mix.wav");',
+            f'load_sample("hit", "{tmp_path}/hit.wav", "");',
+            'add_normalize("sum", 1.0, 0.0);',
+        ]
+        for i in range(n_tracks):
+            lines += [
+                f'declare_stream("s{i}");',
+                f'add_sample_multi("t{i}", 1.0, 0.0, "hit", "s{i}", -1);',
+                f'connect("t{i}", "sum");',
+            ]
+        lines.append('set_output("sum");')
+        (tmp_path / "project.lua").write_text("\n".join(lines))
+        (tmp_path / "project.toml").write_text(
+            f'[settings]\nmain = "project.lua"\nbuffer_length = {bl}\n'
+            f"project_samplerate = {sr}\n"
+        )
+        st = State(Config.read(tmp_path / "project.toml"), str(tmp_path))
+        st.refresh()
+        assert st.loaded
+        return st
+
+    def test_feed_reaches_next_window_without_recompile(self, tmp_path):
+        from termdaw_tpu.fileio.packets import PacketDecoder, encode_events
+        from termdaw_tpu.graph import compile as gc
+
+        sr, bl = 8000, 256
+        st = self._project(tmp_path, sr=sr, bl=bl)
+        # live mode warmup, like the stream workflow's play(): caps seeded
+        # from the (empty) schedule, first nb=1 window compiled
+        st.compiled.seed_caps(st.fb, st.cs, 4)
+        silent = np.asarray(st.compiled.render_window(st.fb, 1))
+        st.fb.advance_blocks(1)
+        assert np.max(np.abs(silent)) == 0.0
+        keys_before = set(gc._PROGRAM_CACHE.keys())
+
+        # feed one hit landing exactly 2 blocks ahead, the workflow way
+        # (workflows/stream.py:100-113): trim, append, resync cursor
+        # mid-window target: the f32 multiply-truncate frame mapping
+        # (banks/flowwbank.event_frames) can land a boundary-placed event
+        # on the window's final frame, where the drum's first sample is
+        # ~0 — aim 16 frames in so the hit has audible body
+        t_now = st.compiled.get_time()
+        ev = np.array(
+            [[0.0, (t_now + bl + 16) / sr, 36.0, 0.9]], np.float32
+        )
+        pkts = PacketDecoder().feed(encode_events("s1", ev))
+        st.fb.trim_streams()
+        assert st.fb.append_streams(pkts) == []
+        st.fb.set_time(t_now)
+
+        quiet = np.asarray(st.compiled.render_window(st.fb, 1))
+        st.fb.advance_blocks(1)
+        assert np.max(np.abs(quiet)) == 0.0  # event is 1 block away still
+        hit = np.asarray(st.compiled.render_window(st.fb, 1))
+        st.fb.advance_blocks(1)
+        assert np.max(np.abs(hit)) > 0.01, "fed event missed its window"
+        # frame-exact placement: silent before the in-window event frame,
+        # energy from it on
+        assert np.max(np.abs(hit[:8])) == 0.0
+        assert np.max(np.abs(hit[14:64])) > 0.0
+
+        keys_after = set(gc._PROGRAM_CACHE.keys())
+        assert keys_after == keys_before, (
+            "stream feed minted a new compiled program: "
+            f"{keys_after - keys_before}"
+        )

@@ -82,3 +82,77 @@ class TestClockFoldProperty:
         for j in range(n):
             assert got[j] == t
             t = np.float32(t + np.float32(delta))
+
+
+class TestPooledCursorProperty:
+    """FlowwBank's pooled cursor (one searchsorted across all sorted
+    flowws, banks/flowwbank.py:_cursor_pool) must be operation-for-
+    operation identical to the per-floww loop path over randomized
+    event layouts (sorted, unsorted, empty flowws mixed) and op
+    sequences (set_time / advance_blocks / set_time_to_next_block /
+    stream appends)."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def test_matches_loop_path(self, data):
+        from termdaw_tpu.banks.flowwbank import FlowwBank
+
+        n_flowws = data.draw(st.integers(min_value=16, max_value=24))
+        bl = 16
+        sr = 1000
+
+        def build():
+            fb = FlowwBank(sr, bl)
+            return fb
+
+        fb_pool = build()
+        fb_loop = build()
+        # force the loop path on the control bank
+        fb_loop._POOL_MIN_FLOWWS = 10**9
+
+        for i in range(n_flowws):
+            kind = data.draw(
+                st.sampled_from(["sorted", "unsorted", "empty"])
+            )
+            if kind == "empty":
+                ev = np.zeros((0, 4), np.float32)
+            else:
+                times = data.draw(
+                    st.lists(
+                        st.floats(min_value=0.0, max_value=2.0,
+                                  allow_nan=False, width=32),
+                        min_size=1, max_size=12,
+                    )
+                )
+                if kind == "sorted":
+                    times = sorted(times)
+                ev = np.zeros((len(times), 4), np.float32)
+                ev[:, 1] = times
+                ev[:, 2] = 36.0
+                ev[:, 3] = 0.9
+            for fb in (fb_pool, fb_loop):
+                fb.declare_floww(f"f{i}", ev.copy())
+
+        ops = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(
+                        ["set_time", "advance", "next_block"]
+                    ),
+                    st.integers(min_value=0, max_value=40),
+                ),
+                min_size=1, max_size=10,
+            )
+        )
+        for op, arg in ops:
+            for fb in (fb_pool, fb_loop):
+                if op == "set_time":
+                    fb.set_time(arg * bl // 2)
+                elif op == "advance":
+                    fb.advance_blocks(arg % 8)
+                else:
+                    fb.set_time_to_next_block()
+            assert fb_pool.frame == fb_loop.frame
+            assert fb_pool.start_indices == fb_loop.start_indices, (
+                op, arg
+            )
