@@ -220,9 +220,8 @@ def main() -> None:
     except Exception as e:  # never leave without the JSON line
         result = _fallback(f"bench harness error: {type(e).__name__}: {e}")
     finally:
-        if result is None:
-            result = _fallback("backend unavailable (see extra.probe_attempts)"
-                               if 'attempts' in dir() else "unknown")
+        if result is None:  # unreachable belt-and-suspenders
+            result = _fallback("bench harness exited without a result")
         sys.stderr.flush()
         print(json.dumps(result), flush=True)
 
@@ -245,7 +244,7 @@ def _state(d: Path):
 
     st = State(Config.read(d / "project.toml"), str(d))
     st.refresh()
-    assert st.loaded
+    assert st.loaded, "refresh did not load (backend or project failure)"
     return st
 
 
@@ -698,6 +697,11 @@ def child_main(result_path: Path, status_path: Path) -> None:
     names = os.environ.get("BENCH_CONFIGS", "")
     builders = ({k: BUILDERS[k] for k in names.split(",") if k in BUILDERS}
                 if names else BUILDERS)
+    # the 1024-track scaling extra is measured LAST (after the BASELINE
+    # configs and every bounded metric are banked): it is the biggest,
+    # newest config, and a stall inside it must not cost the criticals
+    late_names = os.environ.get("BENCH_LATE", "c7_stream1024").split(",")
+    late = {k: builders.pop(k) for k in late_names if k in builders}
 
     # Phase A — chip timings for every config BEFORE the process's first
     # device->host fetch (see measure_chip for why the order matters)
@@ -766,7 +770,25 @@ def child_main(result_path: Path, status_path: Path) -> None:
         except Exception as e:  # pragma: no cover
             log(f"playback measurement failed: {e}")
             extra["playback_error"] = str(e)[:300]
-    ckpt("playback", done=True)
+    ckpt("playback")
+
+    # late phase: the scaling extras (see `late` above). Post-fetch
+    # dispatch mode adds ~20-25 ms per window call on this tunnel, so the
+    # timing is labeled; a stall here costs nothing already banked.
+    for name, build in late.items():
+        try:
+            log(f"building {name} (late phase)...")
+            st = build(tmp / name, length_sec, sr, bl)
+            ckpt(f"built:{name}")
+            measure_chip(st, length_sec, reps, name, extra,
+                         spread_guard=True)
+            extra[f"{name}_post_fetch_mode"] = True
+        except Exception as e:  # pragma: no cover
+            log(f"{name} failed: {e}")
+            extra[f"{name}_error"] = str(e)[:300]
+        ckpt(f"chip:{name}")
+
+    ckpt("done", done=True)
     sys.stderr.flush()
     os._exit(0)  # skip teardown: a stall-orphaned fetch thread would abort
 

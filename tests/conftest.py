@@ -26,7 +26,10 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: long-running test (multichip subprocess dryruns)"
+        "markers",
+        "slow: long-running test (float64 fx oracles, golden renders, "
+        "stress, multichip subprocess dryruns); `-m 'not slow'` is the "
+        "<2 min CPU smoke tier (CLAUDE.md)",
     )
 
 

@@ -200,6 +200,7 @@ class TestNormalizeScan:
 
 
 class TestSampSynAndFx:
+    @pytest.mark.slow
     def test_wavetable_and_fx_chain(self, tmp_path):
         write_midi(tmp_path / "m.mid", [(0.02, 0.2, 60, 100)], bpm=120)
         write_wavetable(tmp_path / "table.wt", WaveTable.default())
@@ -233,6 +234,7 @@ class TestSampSynAndFx:
         assert not np.any(np.isnan(audio))
         assert np.max(np.abs(audio)) > 0.05
 
+    @pytest.mark.slow
     def test_eq3_crossover_moves_with_parameter(self, tmp_path):
         """`parameter("eq", "low freq", x)` must move the eq3 crossover
         (static fx param bound at refresh; VERDICT r1 #5)."""

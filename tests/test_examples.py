@@ -12,6 +12,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# whole module renders real example projects (golden checks ~2 min each
+# on CPU)
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 EXAMPLES = REPO / "examples"
 

@@ -96,6 +96,7 @@ class TestBuildingBlocks:
             exp[t] = b0 * x64[t] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
         np.testing.assert_allclose(a(y), exp, atol=5e-5)
 
+    @pytest.mark.slow
     def test_biquad_parallel_close_to_sequential(self, rng):
         """Bounds the parallel prefix-scan reassociation error the code
         documents (~1e-3 relative over long windows)."""
@@ -131,6 +132,7 @@ class TestBuildingBlocks:
 
 
 class TestEffects:
+    @pytest.mark.slow
     def test_reverb_tail_rings(self):
         x = np.zeros((SR, 2), np.float32)
         x[0] = 1.0  # impulse
@@ -140,6 +142,7 @@ class TestEffects:
         assert np.max(np.abs(y[SR // 2 :])) > 1e-4
         assert np.all(np.isfinite(y))
 
+    @pytest.mark.slow
     def test_reverb_chains_across_windows(self, rng):
         x = rng.normal(size=(1024, 2)).astype(np.float32) * 0.2
         full, _ = process("reverb", x)
@@ -262,6 +265,7 @@ class TestPluginHost:
 
 
 class TestEq3AndFlanger:
+    @pytest.mark.slow
     def test_eq3_band_gains(self):
         sr = 8000
         t = np.arange(sr) / sr
@@ -282,6 +286,7 @@ class TestEq3AndFlanger:
         hi_bin = spec[np.argmin(np.abs(freqs - 3500))]
         assert lo_bin < hi_bin * 0.25
 
+    @pytest.mark.slow
     def test_eq3_low_freq_param_moves_crossover(self):
         """VERDICT item 7 'Done' criterion: `parameter("eq", "low freq", x)`
         must actually move the LR4 crossover. A 400 Hz tone with the low

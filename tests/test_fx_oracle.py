@@ -15,6 +15,9 @@ import math
 import numpy as np
 import pytest
 
+# whole module is heavyweight (per-frame float64 oracles, eq3 ~6 min)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -306,6 +306,7 @@ class TestResample:
         x = np.random.default_rng(0).normal(size=(100, 2)).astype(np.float32)
         np.testing.assert_array_equal(resample_sample(x, 48000, 48000), x)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize(
         "from_sr,to_sr", [(48000, 44100), (96000, 48000), (44100, 48000)]
     )

@@ -9,6 +9,9 @@
 import numpy as np
 import pytest
 
+# whole module is heavyweight (golden render ~7 min on CPU)
+pytestmark = pytest.mark.slow
+
 from termdaw_tpu.config import Config
 from termdaw_tpu.engine.state import State
 from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
