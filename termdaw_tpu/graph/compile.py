@@ -446,6 +446,9 @@ class CompiledGraph:
         self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
         # per-fused-group pooled event arrays, keyed by FlowwBank version
         self._pool_cache: dict[int, tuple] = {}
+        # per-(consumer, member) processed event arrays, keyed by the
+        # member's events array identity (see _group_pool)
+        self._member_pool_cache: dict[tuple[int, int], tuple] = {}
 
     @staticmethod
     def _fresh_carry(kind: str):
@@ -897,18 +900,28 @@ class CompiledGraph:
                 self._pool_cache[consumer] = ((fb.uid, fb.version), None)
                 return None
             ev = fb.flowws[i]
-            f = fb._event_frames(i)
-            on = ev[:, 3] > 0.001
-            f, n, v = f[on], ev[on, 2], ev[on, 3]
-            keep = np.ones(len(f), bool)
-            if len(f) > 1:
-                keep[1:] = f[1:] != f[:-1]
-            f, n, v = f[keep], n[keep], v[keep]
-            if st.note is not None:
-                nf = np.abs(n - np.float32(st.note)) < 0.01
-                f, v = f[nf], v[nf]
+            # per-member memo keyed on the events array IDENTITY: a live
+            # feed replaces only the fed streams' arrays, so rebuilding
+            # every member's masks per version bump made each feed O(all
+            # members); now it is O(changed members) + one concat/argsort
+            memo = self._member_pool_cache.get((consumer, mi))
+            if memo is not None and memo[0] is ev:
+                f, v = memo[1], memo[2]
+            else:
+                f = fb._event_frames(i)
+                on = ev[:, 3] > 0.001
+                f, n, v = f[on], ev[on, 2], ev[on, 3]
+                keep = np.ones(len(f), bool)
+                if len(f) > 1:
+                    keep[1:] = f[1:] != f[:-1]
+                f, n, v = f[keep], n[keep], v[keep]
+                if st.note is not None:
+                    nf = np.abs(n - np.float32(st.note)) < 0.01
+                    f, v = f[nf], v[nf]
+                v = v.astype(np.float32)
+                self._member_pool_cache[(consumer, mi)] = (ev, f, v)
             fl.append(f)
-            vl.append(v.astype(np.float32))
+            vl.append(v)
             ml.append(np.full(len(f), mi, np.int32))
         if fl:
             f = np.concatenate(fl)
