@@ -24,6 +24,48 @@ import numpy as np
 import pytest
 
 
+def pytest_sessionstart(session):
+    """Fail FAST when a sitecustomize-forced accelerator backend is down.
+
+    On this harness a PYTHONPATH sitecustomize force-registers the TPU
+    plugin over our JAX_PLATFORMS=cpu request, so the suite runs on the
+    real chip — and during a tunnel outage every test would hang ~25 min
+    in backend init. Probe the backend in a throwaway subprocess with a
+    hard timeout and abort the session with the CPU recipe instead.
+    Scrubbed-CPU runs (no sitecustomize on PYTHONPATH) skip the probe
+    entirely."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    if os.environ.get("TERMDAW_SKIP_BACKEND_GUARD") == "1":
+        return
+    forced = any(
+        p and (Path(p) / "sitecustomize.py").exists()
+        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    if not forced:
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=150,
+        )
+        ok = proc.returncode == 0
+        why = (proc.stderr or "").strip().splitlines()[-1:] or ["?"]
+    except subprocess.TimeoutExpired:
+        ok, why = False, ["backend init did not return within 150s"]
+    if not ok:
+        pytest.exit(
+            "accelerator backend unavailable — the sitecustomize on "
+            "PYTHONPATH forces the suite onto it and every test would "
+            f"hang ({why[0]}). Run the CPU tier instead:\n  env -u "
+            "PYTHONPATH JAX_PLATFORMS=cpu python -m pytest tests/ -q",
+            returncode=3,
+        )
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
