@@ -158,6 +158,26 @@ def main() -> None:
     t_start = time.monotonic()
     deadline = t_start + deadline_s
     result: dict | None = None
+    result_path: Path | None = None
+    child: subprocess.Popen | None = None
+
+    def _reap_child() -> None:
+        # the child runs in its own session (so a stalled jax call dies
+        # with it); it must never outlive the parent and keep the single
+        # chip busy for the next run
+        if child is not None and child.poll() is None:
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except OSError:
+                child.kill()
+            try:
+                child.wait(timeout=30)
+            except subprocess.TimeoutExpired:  # pragma: no cover
+                pass  # unreapable (D-state); partials are still banked
+
+    # a driver SIGTERM must still produce the JSON line + child cleanup:
+    # route it through SystemExit so the finally below runs
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     try:
         if os.environ.get("BENCH_SKIP_PROBE", "") != "1":
             info, attempts = probe_backend_loop(deadline)
@@ -194,11 +214,7 @@ def main() -> None:
                               f"{stall_s:.0f}s; reporting partial results")
             if killed_why:
                 log(f"WATCHDOG: {killed_why} — killing child pg")
-                try:
-                    os.killpg(child.pid, signal.SIGKILL)
-                except OSError:
-                    child.kill()
-                child.wait(timeout=30)
+                _reap_child()
                 break
             time.sleep(2.0)
 
@@ -213,15 +229,23 @@ def main() -> None:
         elif child.returncode != 0 and not result.get("done"):
             result["error"] = (f"measurement child exited rc="
                                f"{child.returncode} mid-run; partial results")
-        result.get("extra", {}).update(
-            {"backend_probe": info} if info else {}
-        )
-        result.pop("done", None)
-    except Exception as e:  # never leave without the JSON line
-        result = _fallback(f"bench harness error: {type(e).__name__}: {e}")
+        if info:
+            result.setdefault("extra", {})["backend_probe"] = info
+    except BaseException as e:  # never leave without the JSON line
+        # salvage whatever the child banked before the interruption
+        result = _read_json(result_path) if result_path else None
+        why = (f"bench harness interrupted: {type(e).__name__}: {e}"
+               if not isinstance(e, SystemExit)
+               else "bench harness terminated (SIGTERM); partial results")
+        if result is None:
+            result = _fallback(why)
+        else:
+            result["error"] = why
     finally:
+        _reap_child()
         if result is None:  # unreachable belt-and-suspenders
             result = _fallback("bench harness exited without a result")
+        result.pop("done", None)
         sys.stderr.flush()
         print(json.dumps(result), flush=True)
 
@@ -652,6 +676,7 @@ class _Checkpoint:
         self.length_sec = length_sec
         self.extra = extra
         self.chip1: float | None = None
+        self.error: str | None = None
 
     def __call__(self, event: str, done: bool = False) -> None:
         with open(self.status_path, "a") as f:
@@ -665,6 +690,8 @@ class _Checkpoint:
             "extra": self.extra,
             "done": done,
         }
+        if self.error:
+            result["error"] = self.error
         tmp = self.result_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(result))
         os.replace(tmp, self.result_path)
@@ -695,8 +722,22 @@ def child_main(result_path: Path, status_path: Path) -> None:
     ckpt("start")
 
     names = os.environ.get("BENCH_CONFIGS", "")
-    builders = ({k: BUILDERS[k] for k in names.split(",") if k in BUILDERS}
-                if names else BUILDERS)
+    if names:
+        requested = [n for n in names.split(",") if n]
+        unknown = [n for n in requested if n not in BUILDERS]
+        builders = {k: BUILDERS[k] for k in requested if k in BUILDERS}
+        if unknown:
+            # a typo must not read as a genuine 0x measurement
+            log(f"BENCH_CONFIGS unknown: {unknown}")
+            extra["bench_configs_unknown"] = unknown
+            if not builders:
+                ckpt.error = (f"BENCH_CONFIGS matched no known configs: "
+                              f"{unknown}")
+                ckpt("config_error", done=True)
+                sys.stderr.flush()
+                os._exit(2)
+    else:
+        builders = dict(BUILDERS)  # never mutate the module-global mapping
     # the 1024-track scaling extra is measured LAST (after the BASELINE
     # configs and every bounded metric are banked): it is the biggest,
     # newest config, and a stall inside it must not cost the criticals

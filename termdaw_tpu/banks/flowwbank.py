@@ -171,8 +171,17 @@ class FlowwBank:
                 np.concatenate(parts).astype(np.int64, copy=False)
                 if offsets[-1] else np.zeros(0, np.int64)
             )
-            if len(pooled) and int(pooled.max()) >= self._POOL_STRIDE:
-                data = None  # out-of-range frames: loop path handles all
+            if len(pooled) and (
+                int(pooled.max()) >= self._POOL_STRIDE
+                or int(pooled.min()) < 0
+            ):
+                # out-of-range frames make the keyed concat non-monotonic
+                # (a malformed NaN/inf event time maps to INT64_MIN via
+                # event_frames' f32 cast — and sorts FIRST, so it also
+                # passes the is-sorted check); binary search on that
+                # would corrupt every pooled cursor. Loop path handles
+                # such flowws benignly.
+                data = None
             else:
                 seg_base = (
                     np.arange(len(sorted_idx), dtype=np.int64)

@@ -27,7 +27,6 @@ from .workflows.ui import run_ui_workflow
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    apply_platform_override(argv)
     wdir = argv[0] if argv else "./"
     enable_persistent_compile_cache()
     try:
@@ -106,4 +105,8 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # the TERMDAW_PLATFORM re-exec replaces the PROCESS, so it only
+    # belongs at a real CLI entrypoint — never inside main(), which
+    # tests and embedders call in-process
+    apply_platform_override(sys.argv[1:])
     raise SystemExit(main())

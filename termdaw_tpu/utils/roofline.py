@@ -51,12 +51,18 @@ def chip_peaks(device) -> tuple[float, float] | None:
     return None
 
 
-def _window_counts(st) -> dict[int, int]:
+def _window_counts(st) -> dict[int, int] | None:
     """Window sizes a single-device render uses, as {nb: count} — the same
-    loop shape as State.render_device (engine/state.py:631-635)."""
+    loop shape as State.render_device (engine/state.py:631-635). Returns
+    None on a multi-device mesh: the timed render dispatched SHARDED
+    programs there, and window_cost only models the single-device ones —
+    mixing them would attribute the wrong flop/byte totals to the
+    measured time."""
     left = st.cs
     counts: dict[int, int] = {}
-    _, _, step = st._mesh_plan()
+    _, n_dev, step = st._mesh_plan()
+    if n_dev > 1:
+        return None
     while left > 0:
         nb = st._pick_nb(left, step, 1)
         counts[nb] = counts.get(nb, 0) + 1
@@ -81,6 +87,8 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
     """Per-config achieved GFLOP/s and logical GB/s over the measured chip
     render time, plus utilization vs chip peaks when known."""
     counts = _window_counts(st)
+    if counts is None:
+        return None
     cg = st.compiled
     _, _, step = st._mesh_plan()
     cg.seed_caps(st.fb, st.cs, step)

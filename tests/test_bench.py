@@ -143,3 +143,66 @@ def test_probe_real_cpu_backend():
     assert info is not None, reason
     assert info["n_devices"] >= 1
     assert info["platform"] == "cpu"
+
+
+def test_unknown_configs_error():
+    """A BENCH_CONFIGS typo must produce value 0 WITH an error naming the
+    unknown names — never a silent 'successful' 0x measurement."""
+    out = run_bench(
+        {"BENCH_SKIP_PROBE": "1", "BENCH_CONFIGS": "c2,typo"},
+        timeout=120,
+    )
+    assert out["value"] == 0.0
+    assert "matched no known configs" in out["error"]
+    assert out["extra"]["bench_configs_unknown"] == ["c2", "typo"]
+
+
+@pytest.mark.slow
+def test_sigterm_reports_partials_and_reaps_child():
+    """A driver SIGTERM mid-run must still print the one JSON line with
+    the banked partials, and must not leave the measurement child alive
+    on the (single) chip."""
+    import signal
+    import time as _time
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env.update({
+        "JAX_PLATFORMS": "cpu", "TERMDAW_COLOR": "0",
+        "BENCH_SKIP_PROBE": "1", "BENCH_LENGTH_SEC": "2",
+        "BENCH_REPS": "2", "BENCH_CONFIGS": "c1",
+        "BENCH_FAKE_STALL": "chip:c1",  # wedge after banking c1
+    })
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # wait for the child to bank c1 (it then wedges), then SIGTERM parent
+    deadline = _time.monotonic() + 240
+    t_start = _time.time()
+    import glob
+    banked = False
+    while _time.monotonic() < deadline and not banked:
+        for rp in glob.glob("/tmp/termdaw_bench_*/result.json"):
+            try:
+                if os.stat(rp).st_mtime < t_start:
+                    continue  # stale result from an earlier bench run
+                data = json.loads(open(rp).read())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if data.get("value", 0) > 0:
+                banked = True
+                break
+        _time.sleep(1.0)
+    assert banked, "child never banked c1"
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=60)
+    lines = [ln for ln in stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    out = json.loads(lines[0])
+    assert out["value"] > 0.0, "partials lost on SIGTERM"
+    assert "terminated" in out["error"]
