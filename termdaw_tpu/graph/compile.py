@@ -449,6 +449,8 @@ class CompiledGraph:
         # per-(consumer, member) processed event arrays, keyed by the
         # member's events array identity (see _group_pool)
         self._member_pool_cache: dict[tuple[int, int], tuple] = {}
+        # per-consumer sample_len/base vectors (see _fused_member_vecs)
+        self._fused_vecs: dict[int, tuple] = {}
 
     @staticmethod
     def _fresh_carry(kind: str):
@@ -860,11 +862,11 @@ class CompiledGraph:
             )
         if fused:
             for consumer, members in self.fused_groups.items():
-                srcs, group_carries = self._bake_fused_group(
+                voices, group_carries = self._bake_fused_group(
                     fb, consumer, members, t0, t1, carries or self.carries
                 )
                 new_carries.update(group_carries)
-                tbl = self._merge_group(srcs, consumer, members, t0, nb)
+                tbl = self._merge_group(voices, consumer, members, t0, nb)
                 bakes[f"fused{consumer}"] = tbl
                 self._record_caps(
                     f"fused{consumer}",
@@ -971,57 +973,84 @@ class CompiledGraph:
             wf = np.concatenate(fl) if fl else np.zeros(0, np.int64)
             wv = np.concatenate(vl) if vl else np.zeros(0, np.float32)
             wm = np.concatenate(ml) if ml else np.zeros(0, np.int32)
-        counts_ev = np.bincount(wm, minlength=len(members))
-        splits_f = np.split(wf, np.cumsum(counts_ev)[:-1])
-        splits_v = np.split(wv, np.cumsum(counts_ev)[:-1])
-        parts_f: list[np.ndarray] = []
-        parts_v: list[np.ndarray] = []
-        parts_m: list[np.ndarray] = []
-        new_carries: dict[int, Any] = {}
+        # prepend each member's carry voices (list order) ahead of its
+        # window events WITHOUT a per-member split/concat pass (that loop
+        # plus 2x np.split was ~half the 1024-track window bake): stable
+        # argsort by member id on [all carries | all window events] keeps
+        # every member's carries (first segment) before its window events
+        # and preserves intra-segment order — the per-member slot order
+        # bit-exactly
+        carry_f: list[np.ndarray] = []
+        carry_v: list[np.ndarray] = []
+        carry_m: list[np.ndarray] = []
         for mi, m in enumerate(members):
             cvs = carries[m].voices
             if cvs:
-                cf = np.asarray([x[0] for x in cvs], np.int64)
-                cv = np.asarray([x[1] for x in cvs], np.float32)
-                mf = np.concatenate([cf, splits_f[mi]])
-                mv = np.concatenate([cv, splits_v[mi]])
-            else:
-                mf, mv = splits_f[mi], splits_v[mi]
-            parts_f.append(mf)
-            parts_v.append(mv)
-            parts_m.append(np.full(len(mf), mi, np.int32))
-            alive = mf + self.statics[m].sample_len > t1
-            if alive.any():
-                new_carries[m] = B.MultiCarry([
+                carry_f.append(np.asarray([x[0] for x in cvs], np.int64))
+                carry_v.append(np.asarray([x[1] for x in cvs], np.float32))
+                carry_m.append(np.full(len(cvs), mi, np.int32))
+        wf = wf.astype(np.int64, copy=False)
+        wm = wm.astype(np.int32, copy=False)
+        if carry_f:
+            af = np.concatenate(carry_f + [wf])
+            av = np.concatenate(carry_v + [wv])
+            am = np.concatenate(carry_m + [wm])
+            order = np.argsort(am, kind="stable")
+            af, av, am = af[order], av[order], am[order]
+        else:
+            af, av, am = wf, wv, wm
+        slen_vec, _ = self._fused_member_vecs(consumer, members)
+        new_carries: dict[int, Any] = {m: B.MultiCarry() for m in members}
+        alive = np.nonzero(af + slen_vec[am] > t1)[0]
+        if len(alive):
+            am_a, af_a, av_a = am[alive], af[alive], av[alive]
+            uniq, first = np.unique(am_a, return_index=True)
+            bounds = np.append(first, len(am_a))
+            for j, u in enumerate(uniq):
+                sl = slice(int(bounds[j]), int(bounds[j + 1]))
+                new_carries[members[int(u)]] = B.MultiCarry([
                     (int(s), float(v))
-                    for s, v in zip(mf[alive], mv[alive])
+                    for s, v in zip(af_a[sl], av_a[sl])
                 ])
-            else:
-                new_carries[m] = B.MultiCarry()
-        srcs = {
-            m: (parts_f[mi], parts_v[mi])
-            for mi, m in enumerate(members)
-        }
-        return srcs, new_carries
+        return (af, av, am), new_carries
 
-    def _merge_group(self, srcs, consumer: int, members, t0: int, nb: int):
+    def _fused_member_vecs(self, consumer: int, members):
+        """Per-member sample_len / concat-buffer base offsets as vectors,
+        built once per group (statics are immutable per CompiledGraph;
+        rebuilding these per window was an O(members) Python pass)."""
+        v = self._fused_vecs.get(consumer)
+        if v is None:
+            _, bases = self._fused_layout[consumer]
+            v = (
+                np.asarray(
+                    [self.statics[m].sample_len for m in members], np.int64
+                ),
+                np.asarray(
+                    [bases[self.statics[m].sample_pos] for m in members],
+                    np.int64,
+                ),
+            )
+            self._fused_vecs[consumer] = v
+        return v
+
+    def _merge_group(self, voices, consumer: int, members, t0: int, nb: int):
         """Compact merged voice table for one fused group (host numpy).
 
-        Consumes the raw per-member (starts, vels) voice arrays collected
-        by _bake_all's light fused path and emits (begins [nb,Pf] in
+        Consumes the merged member-major (starts, vels, member-id) voice
+        arrays from _bake_fused_group and emits (begins [nb,Pf] in
         concat-buffer coords, vel [nb,Pf], member [nb,Pf] index into
         `members`), keeping only voices whose sample span intersects the
         block; Pf is the cap-pinned max live count. Exact: dropped slots
-        read zeros / have vel 0. One vectorized [nb, V] activity pass over
-        ALL members' voices (the per-member loop dominated 256-track host
-        bake time). Slot order per block = member order, then trigger
-        order within a member — matching the per-member formulation
-        bit-exactly."""
+        read zeros / have vel 0. Activity is computed as per-voice
+        segmented block ranges, O(active pairs) (the per-member loop and
+        later the dense [nb, V] mask each dominated the 256/1024-track
+        host bake in turn). Slot order per block = member order, then
+        trigger order within a member — matching the per-member
+        formulation bit-exactly."""
         bl = self.bl
-        _, bases = self._fused_layout[consumer]
         caps = self.bake_caps.get(f"fused{consumer}") or {}
-        counts_per_m = [len(srcs[m][0]) for m in members]
-        V = int(np.sum(counts_per_m))
+        starts, vels, mid = voices
+        V = len(starts)
         if V == 0:
             w = max(caps.get("pf", 1), 1)
             return {
@@ -1029,21 +1058,31 @@ class CompiledGraph:
                 "vel": np.zeros((nb, w), np.float32),
                 "member": np.zeros((nb, w), np.int32),
             }
-        starts = np.concatenate([srcs[m][0] for m in members])
-        vels = np.concatenate([srcs[m][1] for m in members])
-        mid = np.repeat(
-            np.arange(len(members), dtype=np.int32), counts_per_m
-        )
-        slen = np.asarray(
-            [self.statics[m].sample_len for m in members], np.int64
-        )[mid]
-        base = np.asarray(
-            [bases[self.statics[m].sample_pos] for m in members], np.int64
-        )[mid]
+        slen_vec, base_vec = self._fused_member_vecs(consumer, members)
+        slen = slen_vec[mid]
+        base = base_vec[mid]
         block_starts = t0 + np.arange(nb, dtype=np.int64) * bl
-        off = block_starts[:, None] - starts[None, :]  # [nb, V]
-        act = (off + bl > 0) & (off < slen[None, :])
-        kk, pp = np.nonzero(act)  # row-major: kk ascending, pp in voice order
+        # active blocks per voice as segmented ranges (the dense [nb, V]
+        # mask + nonzero cost ~50 ms/window at 1024 tracks; this is
+        # O(active pairs)). Voice p is live in block k iff
+        # starts[p] < b0 + bl and b0 < starts[p] + slen[p], b0 = t0+k*bl.
+        starts = starts.astype(np.int64, copy=False)
+        k0 = np.maximum(0, -(-(starts - bl + 1 - t0) // bl))
+        k1 = np.minimum(nb - 1, (starts + slen - 1 - t0) // bl)
+        cnt = np.clip(k1 - k0 + 1, 0, None)
+        total = int(cnt.sum())
+        if total:
+            pp = np.repeat(np.arange(V), cnt)
+            seg0 = np.cumsum(cnt) - cnt
+            kk = k0[pp] + (np.arange(total, dtype=np.int64)
+                           - np.repeat(seg0, cnt))
+            # row-major (block-major) order with voice order preserved
+            # within a block — exactly what np.nonzero on the dense mask
+            # produced (stable sort keeps pp ascending per block)
+            order = np.argsort(kk, kind="stable")
+            kk, pp = kk[order], pp[order]
+        else:
+            kk = pp = np.zeros(0, np.int64)
         if not len(kk):
             w = max(caps.get("pf", 1), 1)
             return {
@@ -1071,7 +1110,9 @@ class CompiledGraph:
                     "vel": np.zeros((nb, w), np.float32),
                     "member": np.zeros((nb, w), np.int32),
                 }
-        b = np.clip(off[kk, pp] + bl, 0, slen[pp] + bl) + base[pp]
+        b = np.clip(
+            block_starts[kk] - starts[pp] + bl, 0, slen[pp] + bl
+        ) + base[pp]
         counts = np.bincount(kk, minlength=nb)
         pf = B._capped(int(counts.max()), caps.get("pf"))
         pos = np.arange(len(kk)) - np.repeat(

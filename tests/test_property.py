@@ -156,3 +156,113 @@ class TestPooledCursorProperty:
             assert fb_pool.start_indices == fb_loop.start_indices, (
                 op, arg
             )
+
+
+class TestMergeGroupProperty:
+    """_merge_group's segmented per-voice block ranges (compile.py) must
+    reproduce the dense-mask semantics exactly: voice p is live in block
+    k iff starts[p] < b0+bl and b0 < starts[p]+slen[p]; slot order per
+    block = member order then trigger order; per-(block, member)
+    voice_cap keeps the NEWEST voices; begins clamp to [0, slen+bl] plus
+    the member's concat-buffer base."""
+
+    @staticmethod
+    def _naive(starts, vels, mid, slen_by_m, base_by_m, t0, nb, bl,
+               pf_cap, voice_cap):
+        rows = []
+        for k in range(nb):
+            b0 = t0 + k * bl
+            live = [
+                p for p in range(len(starts))
+                if starts[p] < b0 + bl and b0 < starts[p] + slen_by_m[mid[p]]
+            ]
+            if voice_cap is not None:
+                by_m: dict[int, list[int]] = {}
+                for p in live:
+                    by_m.setdefault(mid[p], []).append(p)
+                live = [
+                    p for m in sorted(by_m)
+                    for p in by_m[m][-voice_cap:]
+                ]
+            rows.append(live)
+        pmax = max((len(r) for r in rows), default=0)
+        if pf_cap is not None and pmax <= pf_cap:
+            pf = max(pf_cap, 1)
+        else:
+            pf = 1
+            while pf < max(pmax, 1):
+                pf *= 2
+        begins = np.zeros((nb, pf), np.int32)
+        vel = np.zeros((nb, pf), np.float32)
+        member = np.zeros((nb, pf), np.int32)
+        for k, live in enumerate(rows):
+            b0 = t0 + k * bl
+            for j, p in enumerate(live):
+                m = mid[p]
+                begins[k, j] = (
+                    min(max(b0 - starts[p] + bl, 0), slen_by_m[m] + bl)
+                    + base_by_m[m]
+                )
+                vel[k, j] = vels[p]
+                member[k, j] = m
+        return begins, vel, member
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def test_matches_dense_reference(self, data):
+        from types import SimpleNamespace
+
+        from termdaw_tpu.graph.compile import CompiledGraph
+
+        bl = 16
+        n_members = data.draw(st.integers(min_value=1, max_value=4))
+        slen_by_m = [
+            data.draw(st.integers(min_value=1, max_value=90))
+            for _ in range(n_members)
+        ]
+        base_by_m = [1000 * m for m in range(n_members)]
+        nb = data.draw(st.integers(min_value=1, max_value=8))
+        t0 = data.draw(st.integers(min_value=0, max_value=64))
+        voice_cap = data.draw(st.sampled_from([None, 1, 2]))
+        pf_cap = data.draw(st.sampled_from([None, 1, 4, 8]))
+        parts_f, parts_v, parts_m = [], [], []
+        for m in range(n_members):
+            k = data.draw(st.integers(min_value=0, max_value=6))
+            f = sorted(
+                data.draw(st.integers(min_value=-120, max_value=220))
+                for _ in range(k)
+            )
+            parts_f += f
+            parts_v += [0.1 + 0.01 * i for i in range(k)]
+            parts_m += [m] * k
+        starts = np.asarray(parts_f, np.int64)
+        vels = np.asarray(parts_v, np.float32)
+        mid = np.asarray(parts_m, np.int32)
+
+        stub = SimpleNamespace(
+            bl=bl,
+            voice_cap=voice_cap,
+            bake_caps={"fused0": {"pf": pf_cap} if pf_cap else {}},
+            _fused_vecs={},
+            _fused_layout={0: (None, {m: base_by_m[m]
+                                      for m in range(n_members)})},
+            statics={m: SimpleNamespace(sample_len=slen_by_m[m],
+                                        sample_pos=m)
+                     for m in range(n_members)},
+            _fused_member_vecs=CompiledGraph._fused_member_vecs,
+        )
+        stub._fused_member_vecs = (
+            lambda consumer, members: CompiledGraph._fused_member_vecs(
+                stub, consumer, members
+            )
+        )
+        got = CompiledGraph._merge_group(
+            stub, (starts, vels, mid), 0, list(range(n_members)), t0, nb
+        )
+        wb, wv, wm = self._naive(
+            starts, vels, mid, slen_by_m, base_by_m, t0, nb, bl,
+            pf_cap, voice_cap,
+        )
+        np.testing.assert_array_equal(got["begins"], wb)
+        np.testing.assert_array_equal(got["vel"], wv)
+        np.testing.assert_array_equal(got["member"], wm)
