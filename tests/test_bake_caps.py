@@ -365,3 +365,27 @@ class TestProgramCacheLru:
         # two beyond the newest; before the LRU, NONE ever released)
         dead = sum(1 for r in refs[:-1] if r() is None)
         assert dead >= len(refs) - 2, f"only {dead} old graphs released"
+
+
+class TestWindowCost:
+    def test_cost_analysis_of_compiled_window(self, tmp_path):
+        """window_cost (the bench roofline hook) returns XLA's cost dict
+        for the exact cached program without advancing time or minting a
+        new program (graph/compile.py:window_cost)."""
+        from termdaw_tpu.graph import compile as gc
+        from termdaw_tpu.engine.state import render_chunk_blocks
+
+        st = _make_state(tmp_path)
+        step = render_chunk_blocks(st.cs)
+        st.compiled.seed_caps(st.fb, st.cs, step)
+        st.compiled.set_time(0)
+        st.fb.set_time(0)
+        st.compiled.render_window(st.fb, step)  # compile + dispatch once
+        st.compiled.set_time(0)
+        st.fb.set_time(0)
+        keys_before = set(gc._PROGRAM_CACHE.keys())
+        ca = st.compiled.window_cost(st.fb, step)
+        assert st.compiled.get_time() == 0  # no time advance
+        assert set(gc._PROGRAM_CACHE.keys()) == keys_before
+        if ca is not None:  # None allowed only on fallback jit paths
+            assert float(ca.get("flops", 0.0)) > 0.0
