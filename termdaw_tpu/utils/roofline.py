@@ -32,7 +32,7 @@ def log(msg: str) -> None:
 _PEAKS = {
     "v4": (275.0, 1228.0),
     "v5e": (197.0, 819.0),
-    "v5litepod": (197.0, 819.0),
+    "v5lite": (197.0, 819.0),   # device_kind spells v5e "TPU v5 lite..."
     "v5p": (459.0, 2765.0),
     "v6e": (918.0, 1640.0),
     "trillium": (918.0, 1640.0),
