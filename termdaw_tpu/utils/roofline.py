@@ -83,6 +83,21 @@ def _resampler_flops(st, length_sec: float) -> float:
     return out_frames * SINC_LEN * 2 * 2  # taps x channels x (mul+add)
 
 
+def _analytic_window_model(cg, counts: dict[int, int]) -> tuple[float, float]:
+    """Crude traffic/compute floor when XLA cost analysis is unavailable:
+    every vertex reads+writes a stereo f32 window (~16 B/frame) and does
+    ~12 flops/sample (gain/pan/mix/envelope scale). A floor, not a
+    measurement — the output labels it 'analytic_floor'."""
+    n_v = max(1, len(cg.order))
+    flops = 0.0
+    byts = 0.0
+    for nb, cnt in counts.items():
+        frames = nb * cg.bl
+        byts += n_v * frames * 2 * 4 * 2 * cnt
+        flops += n_v * frames * 2 * 12 * cnt
+    return flops, byts
+
+
 def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
     """Per-config achieved GFLOP/s and logical GB/s over the measured chip
     render time, plus utilization vs chip peaks when known."""
@@ -96,10 +111,16 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
     st.fb.set_time(0)
     flops = 0.0
     byts = 0.0
+    source = "xla_cost_analysis"
     for nb, cnt in sorted(counts.items()):
         ca = cg.window_cost(st.fb, nb)
         if ca is None:
-            return None
+            # some PJRT backends don't expose cost analysis on loaded
+            # executables; fall back to a crude analytic floor so the
+            # bench still reports SOMETHING hardware-denominated, labeled
+            flops, byts = _analytic_window_model(cg, counts)
+            source = "analytic_floor"
+            break
         flops += float(ca.get("flops", 0.0)) * cnt
         byts += float(ca.get("bytes accessed", 0.0)) * cnt
     cg.set_time(0)
@@ -110,6 +131,7 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
         "hbm_gbps_logical": round(byts / chip_s / 1e9, 1),
         "window_gflops": round(flops / 1e9, 2),
         "window_gbytes_logical": round(byts / 1e9, 2),
+        "source": source,
     }
     import jax
 
