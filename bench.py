@@ -36,10 +36,12 @@ Secondary configs (BASELINE.md 2-5) are timed the same two ways in extra.
 Status goes to stderr.
 
 Env knobs: BENCH_LENGTH_SEC (40), BENCH_REPS (5), BENCH_CONFIGS
-(comma-subset of BUILDERS), BENCH_DEADLINE_S (2400), BENCH_STALL_S (900),
-BENCH_PROBE_TIMEOUT_S (240), BENCH_PROBE_WINDOW_S (900),
-BENCH_SKIP_PLAYBACK/BENCH_SKIP_E2E (test shortcuts), BENCH_FAKE_OUTAGE /
-BENCH_FAKE_STALL (failure-path test hooks, see tests/test_bench.py).
+(comma-subset of BUILDERS), BENCH_LATE (configs measured after all
+bounded metrics; default c7_stream1024), BENCH_DEADLINE_S (2400),
+BENCH_STALL_S (900), BENCH_PROBE_TIMEOUT_S (240), BENCH_PROBE_WINDOW_S
+(900), BENCH_SKIP_PLAYBACK/BENCH_SKIP_E2E/BENCH_SKIP_ROOFLINE (test
+shortcuts), BENCH_FAKE_OUTAGE / BENCH_FAKE_STALL (failure-path test
+hooks, see tests/test_bench.py).
 """
 
 from __future__ import annotations
