@@ -132,3 +132,41 @@ class TestAdvanceBlocksComposition:
             assert fa.start_indices == fb_.start_indices, (
                 trial, n, times,
             )
+
+
+class TestPooledCursorMalformedEvents:
+    def test_nan_event_time_falls_back_to_loop_path(self):
+        """A malformed packet time (NaN/inf -> INT64_MIN frame via the
+        f32 cast) must not corrupt the pooled cursor: the pool declines
+        banks with negative frames and every cursor op keeps matching the
+        per-floww loop path (review finding, banks/flowwbank.py)."""
+        import numpy as np
+
+        from termdaw_tpu.banks.flowwbank import FlowwBank
+
+        def build(poison: bool):
+            fb = FlowwBank(1000, 16)
+            for i in range(20):
+                ev = np.zeros((3, 4), np.float32)
+                ev[:, 1] = [0.1 * i, 0.5 + 0.1 * i, 1.0 + 0.1 * i]
+                ev[:, 3] = 0.9
+                if poison and i == 7:
+                    ev[0, 1] = np.nan  # sorts FIRST as INT64_MIN
+                fb.declare_floww(f"s{i}", ev)
+            return fb
+
+        fb_pool = build(True)
+        fb_loop = build(True)
+        fb_loop._POOL_MIN_FLOWWS = 10**9
+        for t in (0, 8, 40, 96, 512):
+            fb_pool.set_time(t)
+            fb_loop.set_time(t)
+            assert fb_pool.start_indices == fb_loop.start_indices, t
+            fb_pool.advance_blocks(3)
+            fb_loop.advance_blocks(3)
+            assert fb_pool.start_indices == fb_loop.start_indices, t
+        # clean banks still take the pooled path (sanity: pool exists)
+        fb_clean = build(False)
+        fb_clean.advance_blocks(1)
+        assert fb_clean._cursor_pool() is not None
+        assert fb_pool._cursor_pool() is None  # poisoned: declined
