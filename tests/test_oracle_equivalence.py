@@ -342,3 +342,53 @@ class TestSampSynOracle:
         }
         expect = O.oracle_render(verts, [], "v", {"ev": fl}, SR, BL, N_BLOCKS)
         compare(got, expect, 2e-3)
+
+
+class TestFusedGroupOracle:
+    @pytest.mark.slow
+    def test_18_track_fused_mix(self, tmp_path, rng, sample, monkeypatch):
+        """The fused SampleMulti fast path (pooled floww cursor, pooled +
+        memoized group bake, O(live) merge, Pallas kernel in interpret
+        mode) vs the independent per-frame oracle at a track count that
+        engages every round-4 host-side rewrite (>=16 flowws pools the
+        cursor; >=2 members fuse the group)."""
+        monkeypatch.setenv("TERMDAW_PALLAS_INTERPRET", "1")
+        n_tracks = 18
+        evs = [
+            random_events(rng, 5, LEN_SEC, with_offs=False)
+            for _ in range(n_tracks)
+        ]
+        body = []
+        for i in range(1, n_tracks):
+            body.append(f'declare_stream("ev{i}");')
+        for i in range(n_tracks):
+            fl = "ev" if i == 0 else f"ev{i}"
+            ang = (i / n_tracks) * 120.0 - 60.0
+            body.append(
+                f'add_sample_multi("m{i}", 0.9, {ang:.2f}, "smp", "{fl}", -1);'
+            )
+        body.append('add_sum("s", 1.0, 0.0);')
+        for i in range(n_tracks):
+            body.append(f'connect("m{i}", "s");')
+        body.append('set_output("s");')
+        st = build_state(tmp_path, sample, evs[0], "\n".join(body))
+        assert st.compiled.fused_groups, "fused path did not engage"
+        for i in range(1, n_tracks):
+            st.fb.flowws[st.fb.get_index(f"ev{i}")] = evs[i]
+
+        got = engine_audio(st)
+
+        flowws = {"ev": O.OracleFloww(evs[0], SR, BL)}
+        verts = {"s": O.Sum()}
+        edges = []
+        for i in range(n_tracks):
+            fl = "ev" if i == 0 else f"ev{i}"
+            if i > 0:
+                flowws[fl] = O.OracleFloww(evs[i], SR, BL)
+            ang = (i / n_tracks) * 120.0 - 60.0
+            verts[f"m{i}"] = O.SampleMulti(
+                bank_sample(st), fl, gain=0.9, angle=ang
+            )
+            edges.append((f"m{i}", "s"))
+        expect = O.oracle_render(verts, edges, "s", flowws, SR, BL, N_BLOCKS)
+        compare(got, expect, 2e-3)
