@@ -204,10 +204,7 @@ def main() -> None:
             start_new_session=True,
         )
         killed_why = None
-        while True:
-            rc = child.poll()
-            if rc is not None:
-                break
+        while child.poll() is None:
             if time.monotonic() >= deadline:
                 killed_why = (f"global deadline {deadline_s:.0f}s exceeded; "
                               "reporting partial results")

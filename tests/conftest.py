@@ -78,3 +78,18 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def scrubbed_env(**overrides) -> dict:
+    """A copy of the environment with the accelerator-forcing variables
+    removed and a true CPU backend requested — the standard env for
+    subprocess tests (bench runs, app drives, virtual-device meshes)."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TERMDAW_COLOR"] = "0"
+    env.update(overrides)
+    return env

@@ -87,22 +87,12 @@ def _app_project(tmp_path: Path) -> Path:
         '[settings]\nmain = "project.lua"\nbuffer_length = 1024\n'
         "project_samplerate = 48000\n"
     )
-    import struct
-    import wave
+    import numpy as np
 
-    with wave.open(str(d / "tone.wav"), "wb") as w:
-        w.setnchannels(2)
-        w.setsampwidth(2)
-        w.setframerate(48000)
-        frames = b"".join(
-            struct.pack(
-                "<hh",
-                int(20000 * __import__("math").sin(i * 0.05)),
-                int(20000 * __import__("math").sin(i * 0.05)),
-            )
-            for i in range(4800)
-        )
-        w.writeframes(frames)
+    from termdaw_tpu.fileio.wav import write_wav
+
+    x = (0.6 * np.sin(np.arange(4800) * 0.05)).astype(np.float32)
+    write_wav(d / "tone.wav", np.stack([x, x], 1), 48000, bits=16)
     (d / "project.lua").write_text("""
 set_length(0.5);
 set_output_file("outp.wav");

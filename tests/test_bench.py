@@ -21,14 +21,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_bench(env_extra: dict, timeout: float) -> dict:
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["TERMDAW_COLOR"] = "0"
-    env.update(env_extra)
+    from .conftest import scrubbed_env
+
+    env = scrubbed_env(**env_extra)
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=timeout,
@@ -132,13 +127,10 @@ def test_probe_real_cpu_backend():
     sys.path.insert(0, str(REPO))
     from bench import probe_backend_once  # parent half imports jax-free
 
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS",
-                     "BENCH_FAKE_OUTAGE")
-    }
-    env["JAX_PLATFORMS"] = "cpu"
+    from .conftest import scrubbed_env
+
+    env = scrubbed_env()
+    env.pop("BENCH_FAKE_OUTAGE", None)
     info, reason = probe_backend_once(timeout_s=240, env=env)
     assert info is not None, reason
     assert info["n_devices"] >= 1
@@ -165,17 +157,13 @@ def test_sigterm_reports_partials_and_reaps_child():
     import signal
     import time as _time
 
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    env.update({
-        "JAX_PLATFORMS": "cpu", "TERMDAW_COLOR": "0",
-        "BENCH_SKIP_PROBE": "1", "BENCH_LENGTH_SEC": "2",
-        "BENCH_REPS": "2", "BENCH_CONFIGS": "c1",
-        "BENCH_FAKE_STALL": "chip:c1",  # wedge after banking c1
-    })
+    from .conftest import scrubbed_env
+
+    env = scrubbed_env(
+        BENCH_SKIP_PROBE="1", BENCH_LENGTH_SEC="2",
+        BENCH_REPS="2", BENCH_CONFIGS="c1",
+        BENCH_FAKE_STALL="chip:c1",  # wedge after banking c1
+    )
     proc = subprocess.Popen(
         [sys.executable, str(REPO / "bench.py")],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
