@@ -159,21 +159,16 @@ class Parser:
                     exprs = self.parse_exprlist()
                 return ("local", names, exprs)
             if kw == "goto":
-                # deliberate subset boundary (SURVEY §2b): fail with a
-                # purposeful message, not a confusing generic one
-                raise LuaSyntaxError(
-                    f"lua: line {t.line}: 'goto' is not supported by "
-                    "termdaw_tpu's Lua (deliberate subset; restructure "
-                    "with loops/functions)"
-                )
+                self.next()
+                name = self.expect("name").value
+                return ("goto", name, t.line)
             raise LuaSyntaxError(f"lua: line {t.line}: unexpected keyword {kw!r}")
 
         if t.kind == "symbol" and t.value == "::":
-            raise LuaSyntaxError(
-                f"lua: line {t.line}: labels ('::name::') are not "
-                "supported by termdaw_tpu's Lua (deliberate subset; "
-                "'goto' is unsupported too)"
-            )
+            self.next()
+            name = self.expect("name").value
+            self.expect("symbol", "::")
+            return ("label", name)
 
         # expression statement: assignment or call
         e = self.parse_suffixed()
