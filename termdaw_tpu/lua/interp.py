@@ -251,15 +251,13 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         if not isinstance(t, LuaTable):
             raise LuaError("bad argument to 'pairs' (table expected)")
         keys = list(t.hash.keys())
+        pos = {k: i for i, k in enumerate(keys)}  # O(1) control-var steps
 
         def it(tbl, key):
             if key is None:
                 idx = 0
             else:
-                try:
-                    idx = keys.index(_normalize_key(key)) + 1
-                except ValueError:
-                    idx = len(keys)
+                idx = pos.get(_normalize_key(key), len(keys) - 1) + 1
             while idx < len(keys):
                 k = keys[idx]
                 if k in tbl.hash:
