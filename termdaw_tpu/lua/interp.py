@@ -407,10 +407,51 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
     }.items():
         stringlib.set(name, fn)
 
+    def _sort(t, comp=None):
+        import functools
+
+        items = t.array_items()
+
+        # Lua `<` semantics (numbers or strings; mixed types error)
+        def default_lt(a, b):
+            if isinstance(a, str) and isinstance(b, str):
+                return a < b
+            if (isinstance(a, (int, float)) and not isinstance(a, bool)
+                    and isinstance(b, (int, float)) and not isinstance(b, bool)):
+                return a < b
+            raise LuaError(
+                f"attempt to compare {lua_type(a)} with {lua_type(b)}"
+            )
+
+        if comp is None:
+            lt = default_lt
+        else:
+            def lt(a, b):
+                res = comp(a, b)
+                if isinstance(res, tuple):
+                    res = res[0] if res else None
+                return _truthy(res)
+
+        items.sort(key=functools.cmp_to_key(
+            lambda a, b: -1 if lt(a, b) else (1 if lt(b, a) else 0)
+        ))
+        for i, v in enumerate(items, start=1):
+            t.set(i, v)
+        return ()
+
+    def _pack(*a):
+        t = LuaTable()
+        for i, v in enumerate(a, start=1):
+            t.set(i, v)
+        t.set("n", len(a))
+        return t
+
     tablelib = LuaTable()
     tablelib.set("insert", _insert)
     tablelib.set("remove", _remove)
     tablelib.set("concat", _concat)
+    tablelib.set("sort", _sort)
+    tablelib.set("pack", _pack)
     tablelib.set("unpack", lambda t: tuple(t.array_items()))
 
     # coroutine library (Lua 5.3 §6.2) on handoff threads — see

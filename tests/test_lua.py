@@ -381,6 +381,30 @@ def test_table_border_cache():
     assert rt.get_global("n5") == 3
 
 
+def test_table_sort_and_pack():
+    rt = run(
+        """
+        local t = {5, 3, 9, 1, 7}
+        table.sort(t)
+        asc = table.concat(t, ",")
+        table.sort(t, function(a, b) return a > b end)
+        desc = table.concat(t, ",")
+        local s = {"pear", "apple", "mango"}
+        table.sort(s)
+        strs = table.concat(s, ",")
+        local p = table.pack("x", "y", "z")
+        pn, p2 = p.n, p[2]
+        """
+    )
+    g = rt.get_global
+    assert g("asc") == "1,3,5,7,9"
+    assert g("desc") == "9,7,5,3,1"
+    assert g("strs") == "apple,mango,pear"
+    assert (g("pn"), g("p2")) == (3, "y")
+    with pytest.raises(LuaError, match="attempt to compare"):
+        run('table.sort({1, "a"})')
+
+
 class TestGoto:
     """goto/labels (Lua 5.3 §3.3.4). The reference gets these from real
     Lua via mlua (Cargo.toml:13); here a goto unwinds to the nearest
