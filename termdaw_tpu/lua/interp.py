@@ -20,6 +20,18 @@ class LuaError(RuntimeError):
     pass
 
 
+# sentinel distinguishing "no metamethod" from a metamethod returning nil
+_MISSING = object()
+
+# arithmetic operator → metamethod event (Lua 5.3 §2.4)
+_ARITH_EVENTS = {
+    "+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
+    "%": "__mod", "^": "__pow", "//": "__idiv",
+    "&": "__band", "|": "__bor", "~": "__bxor",
+    "<<": "__shl", ">>": "__shr",
+}
+
+
 class LuaTable:
     """A Lua table: contiguous 1-based array part + hash part + metatable."""
 
@@ -882,6 +894,19 @@ class LuaRuntime:
             return self._unop(expr[1], expr[2], scope)
         raise LuaError(f"unknown expression {op!r}")  # pragma: no cover
 
+    def _meta_bin(self, event: str, l, r):
+        """Dispatch a binary metamethod (left operand's metatable wins,
+        Lua 5.3 §2.4). Returns _MISSING when neither operand has one."""
+        mm = l.get_meta(event) if isinstance(l, LuaTable) else None
+        if mm is None and isinstance(r, LuaTable):
+            mm = r.get_meta(event)
+        if mm is None:
+            return _MISSING
+        res = _call(mm, (l, r))
+        if isinstance(res, tuple):
+            return res[0] if res else None
+        return res
+
     def _binop(self, op, le, re, scope):
         if op == "and":
             l = self._eval(le, scope)
@@ -895,13 +920,20 @@ class LuaRuntime:
             if isinstance(l, (int, float, str)) and isinstance(r, (int, float, str)) \
                     and not isinstance(l, bool) and not isinstance(r, bool):
                 return lua_tostring(l) + lua_tostring(r)
+            res = self._meta_bin("__concat", l, r)
+            if res is not _MISSING:
+                return res
             raise LuaError(
                 f"attempt to concatenate a {lua_type(r if isinstance(l, (int, float, str)) else l)} value"
             )
-        if op == "==":
-            return _lua_eq(l, r)
-        if op == "~=":
-            return not _lua_eq(l, r)
+        if op in ("==", "~="):
+            eq = _lua_eq(l, r)
+            if (not eq and isinstance(l, LuaTable) and isinstance(r, LuaTable)):
+                # __eq fires only when both are tables and raw-unequal
+                res = self._meta_bin("__eq", l, r)
+                if res is not _MISSING:
+                    eq = _truthy(res)
+            return eq if op == "==" else not eq
         if op in ("<", "<=", ">", ">="):
             if isinstance(l, str) and isinstance(r, str):
                 pass
@@ -909,6 +941,12 @@ class LuaRuntime:
                   and isinstance(r, (int, float)) and not isinstance(r, bool)):
                 pass
             else:
+                # a > b is b < a, a >= b is b <= a (Lua 5.3 §3.4.4)
+                event = "__lt" if op in ("<", ">") else "__le"
+                a, b = (l, r) if op in ("<", "<=") else (r, l)
+                res = self._meta_bin(event, a, b)
+                if res is not _MISSING:
+                    return _truthy(res)
                 raise LuaError(
                     f"attempt to compare {lua_type(l)} with {lua_type(r)}"
                 )
@@ -919,6 +957,13 @@ class LuaRuntime:
             if op == ">":
                 return l > r
             return l >= r
+        ln = _tonumber(l) if not isinstance(l, bool) else None
+        rn = _tonumber(r) if not isinstance(r, bool) else None
+        if ln is None or rn is None:
+            res = self._meta_bin(_ARITH_EVENTS[op], l, r)
+            if res is not _MISSING:
+                return res
+            _arith_operand(l if ln is None else r, op)  # raises with the type
         ln = _arith_operand(l, op)
         rn = _arith_operand(r, op)
         if op == "+":
@@ -966,6 +1011,10 @@ class LuaRuntime:
     def _unop(self, op, e, scope):
         v = self._eval(e, scope)
         if op == "-":
+            if isinstance(v, LuaTable):
+                res = self._meta_bin("__unm", v, v)
+                if res is not _MISSING:
+                    return res
             return -_arith_operand(v, "-")
         if op == "not":
             return not _truthy(v)
@@ -973,9 +1022,19 @@ class LuaRuntime:
             if isinstance(v, str):
                 return len(v)
             if isinstance(v, LuaTable):
+                mm = v.get_meta("__len")
+                if mm is not None:
+                    res = _call(mm, (v,))
+                    if isinstance(res, tuple):
+                        return res[0] if res else None
+                    return res
                 return v.length()
             raise LuaError(f"attempt to get length of a {lua_type(v)} value")
         if op == "~":
+            if isinstance(v, LuaTable):
+                res = self._meta_bin("__bnot", v, v)
+                if res is not _MISSING:
+                    return res
             return ~int(_arith_operand(v, "~"))
         raise LuaError(f"unknown unary operator {op!r}")  # pragma: no cover
 

@@ -381,6 +381,46 @@ def test_table_border_cache():
     assert rt.get_global("n5") == 3
 
 
+def test_operator_metamethods():
+    # the full operator set (Lua 5.3 §2.4): a vector type built from
+    # __add/__sub/__mul/__unm/__eq/__lt/__le/__concat/__len
+    rt = run(
+        """
+        local V = {}
+        V.__index = V
+        V.__add = function(a, b) return setmetatable({x=a.x+b.x, y=a.y+b.y}, V) end
+        V.__sub = function(a, b) return setmetatable({x=a.x-b.x, y=a.y-b.y}, V) end
+        V.__mul = function(a, k) return setmetatable({x=a.x*k, y=a.y*k}, V) end
+        V.__unm = function(a) return setmetatable({x=-a.x, y=-a.y}, V) end
+        V.__eq = function(a, b) return a.x == b.x and a.y == b.y end
+        V.__lt = function(a, b) return a.x*a.x + a.y*a.y < b.x*b.x + b.y*b.y end
+        V.__le = function(a, b) return not (b < a) end
+        V.__concat = function(a, b) return "(" .. a.x .. "," .. a.y .. ")" .. b end
+        V.__len = function(a) return 2 end
+        local function vec(x, y) return setmetatable({x=x, y=y}, V) end
+        local a, b = vec(1, 2), vec(3, 4)
+        sx, sy = (a + b).x, (a + b).y
+        d = ((a - b) * 2).x
+        neg = (-a).y
+        eq1, eq2 = vec(1, 2) == vec(1, 2), a == b
+        lt, le, gt = a < b, vec(3, 4) <= vec(3, 4), b > a
+        cat, ln = a .. "!", #a
+        """
+    )
+    g = rt.get_global
+    assert (g("sx"), g("sy"), g("d"), g("neg")) == (4, 6, -4, -2)
+    assert (g("eq1"), g("eq2")) == (True, False)
+    assert (g("lt"), g("le"), g("gt")) == (True, True, True)
+    assert (g("cat"), g("ln")) == ("(1,2)!", 2)
+
+
+def test_arith_without_metamethod_still_errors_clearly():
+    with pytest.raises(LuaError, match=r"arithmetic \(\+\) on a table"):
+        run("x = {} + 1")
+    with pytest.raises(LuaError, match="compare table with number"):
+        run("x = {} < 1")
+
+
 def test_table_sort_and_pack():
     rt = run(
         """
