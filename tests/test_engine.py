@@ -464,3 +464,50 @@ class TestExactBiquadScoping:
                 t.join(timeout=600)
             np.testing.assert_array_equal(results["exact"], ref_exact)
             np.testing.assert_array_equal(results["casc"], ref_casc)
+
+
+class TestLuaCoroutineProjectScripts:
+    """The registered DAW API must work when called from a coroutine's
+    handoff thread (lua/coroutines.py): declarations append to the same
+    refresh-scoped lists regardless of which Python thread the Lua frame
+    runs on (the strict resume/yield handoff means only one thread
+    executes at a time)."""
+
+    def test_api_calls_from_inside_a_coroutine(self, tmp_path):
+        tone_wav(tmp_path / "tone.wav", freq=200.0, dur=0.1)
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.25);
+            set_render_samplerate({SR});
+            set_output_file("{out}");
+            -- build the whole graph from a coroutine: each resume
+            -- declares one track, driven by a goto loop
+            local build = coroutine.create(function()
+              load_sample("tone", "{tmp_path}/tone.wav", "");
+              local i = 0
+              ::more::
+              coroutine.yield()
+              add_sampleloop("lp" .. i, 0.5, 0.0, "tone");
+              connect("lp" .. i, "sum");
+              i = i + 1
+              if i < 3 then goto more end
+            end)
+            coroutine.resume(build)
+            add_normalize("sum", 1.0, 0.0);
+            set_output("sum");
+            while coroutine.status(build) ~= "dead" do
+              assert(coroutine.resume(build))
+            end
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        assert sorted(v.name for v in st.g.vertices) == [
+            "lp0", "lp1", "lp2", "sum"
+        ]
+        st.render()
+        got, _ = read_wav(out, scale=False)
+        assert got.shape[0] == int(np.ceil(SR * 0.25 / BL)) * BL
+        assert np.abs(got).max() > 1000  # real audio from all three loops
