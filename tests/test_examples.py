@@ -42,7 +42,9 @@ def _load(name):
 
 
 @pytest.mark.parametrize(
-    "name", ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
+    "name",
+    ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx",
+     "generative"],
 )
 def test_example_renders(name, assets, tmp_path):
     st = _load(name)
