@@ -381,6 +381,14 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
         "randomseed": lambda x=None: (_RNG.seed(x), ())[1],
         "tointeger": lambda x: int(x) if _tonumber(x) is not None
         and float(x) == int(float(x)) else None,
+        "type": lambda x: (
+            None if isinstance(x, bool) or not isinstance(x, (int, float))
+            else ("integer" if isinstance(x, int) else "float")
+        ),
+        "modf": lambda x: (float(math.floor(x)) if x >= 0
+                           else float(math.ceil(x)), x - (math.floor(x) if x >= 0
+                                                          else math.ceil(x))),
+        "ult": lambda a, b: (int(a) & (2**64 - 1)) < (int(b) & (2**64 - 1)),
     }.items():
         mathlib.set(name, fn)
     mathlib.set("pi", math.pi)

@@ -381,6 +381,22 @@ def test_table_border_cache():
     assert rt.get_global("n5") == 3
 
 
+def test_math_type_modf_ult():
+    rt = run(
+        """
+        t1, t2, t3 = math.type(3), math.type(3.0), math.type("x")
+        i1, f1 = math.modf(3.7)
+        i2, f2 = math.modf(-3.7)
+        u1, u2 = math.ult(-1, 1), math.ult(1, -1)
+        """
+    )
+    g = rt.get_global
+    assert (g("t1"), g("t2"), g("t3")) == ("integer", "float", None)
+    assert g("i1") == 3.0 and abs(g("f1") - 0.7) < 1e-9
+    assert g("i2") == -3.0 and abs(g("f2") + 0.7) < 1e-9
+    assert (g("u1"), g("u2")) == (False, True)
+
+
 def test_operator_metamethods():
     # the full operator set (Lua 5.3 §2.4): a vector type built from
     # __add/__sub/__mul/__unm/__eq/__lt/__le/__concat/__len
