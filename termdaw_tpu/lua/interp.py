@@ -972,8 +972,6 @@ class LuaRuntime:
             if res is not _MISSING:
                 return res
             _arith_operand(l if ln is None else r, op)  # raises with the type
-        ln = _arith_operand(l, op)
-        rn = _arith_operand(r, op)
         if op == "+":
             return ln + rn
         if op == "-":
