@@ -1,7 +1,8 @@
--- Generative mix: the GRAPH is composed by Lua code rather than written
--- out by hand. Not a reference port — this demonstrates the first-party
--- Lua 5.3 surface (coroutines, goto, operator metamethods, table.sort)
--- driving project construction, on the shared example assets.
+-- Generative mix: both the GRAPH and the SCORE are composed by Lua code.
+-- Not a reference port — this demonstrates the first-party Lua 5.3
+-- surface (coroutines, goto, operator metamethods, table.sort) plus the
+-- declare_floww extension (patterns declared in-script, no MIDI files)
+-- on the shared example drum samples.
 
 set_length(16.0);
 set_render_samplerate(48000);
@@ -11,12 +12,62 @@ set_output_file("outp.wav");
 load_sample("kick", "../assets/kick.wav", "");
 load_sample("hat", "../assets/hihat_closed.wav", "");
 load_sample("ride", "../assets/ride.wav", "");
-load_midi_floww("kickf", "../assets/bassd.mid");
-load_midi_floww("hatf", "../assets/hihat.mid");
-load_midi_floww("ridef", "../assets/ride.mid");
-load_midi_floww("bassf", "../assets/bass.mid");
 load_lv2("compressor", "http://calf.sourceforge.net/plugins/Compressor");
 load_lv2("reverb", "http://calf.sourceforge.net/plugins/Reverb");
+
+-- ---- score generation (8 bars at 120 bpm, 2 s per bar) -----------------
+
+local function euclid(pulses, steps)  -- Bjorklund-style onset spread
+  local pat, bucket = {}, 0
+  for i = 1, steps do
+    bucket = bucket + pulses
+    if bucket >= steps then
+      bucket = bucket - steps
+      pat[i] = true
+    else
+      pat[i] = false
+    end
+  end
+  return pat
+end
+
+local function pattern_events(pat, step_s, note, vel, dur)
+  local ev = {}
+  for bar = 0, 7 do
+    for i, on in ipairs(pat) do
+      if on then
+        local t = bar * 2.0 + (i - 1) * step_s
+        table.insert(ev, { t, note, vel })
+        table.insert(ev, { t + dur, note, 0.0 })
+      end
+    end
+  end
+  return ev
+end
+
+declare_floww("kickf", pattern_events(euclid(3, 8), 0.25, 36, 0.9, 0.1));
+declare_floww("hatf", pattern_events(euclid(7, 16), 0.125, 42, 0.55, 0.05));
+declare_floww("ridef", pattern_events(euclid(2, 8), 0.25, 51, 0.5, 0.3));
+
+-- bass line: a coroutine walks up and down a minor-pentatonic scale
+local scale = { 33, 36, 40, 43, 45 }
+local walk = coroutine.wrap(function()
+  local i, dir = 1, 1
+  while true do
+    coroutine.yield(scale[i])
+    i = i + dir
+    if i >= #scale then dir = -1 elseif i <= 1 then dir = 1 end
+  end
+end)
+local bass = {}
+for step = 0, 31 do
+  local n = walk()
+  table.insert(bass, { step * 0.5, n, 0.8 })
+  table.insert(bass, { step * 0.5 + 0.4, n, 0.0 })
+end
+declare_floww("bassf", bass);
+
+-- ---- graph generation ---------------------------------------------------
 
 -- stereo dealer: a coroutine that fans voices across the field, each
 -- resume dealing the next (angle, gain) pair outward-and-quieter

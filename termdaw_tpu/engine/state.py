@@ -147,6 +147,7 @@ class State:
         new_lv2plugins: list[tuple] = []
         new_lv2params: list[tuple] = []
         midis: list[tuple] = []
+        inline_flowws: list[tuple] = []
         streams: list[str] = []
         sums: list[tuple] = []
         norms: list[tuple] = []
@@ -205,6 +206,27 @@ class State:
              lambda a: (str(a[0]), str(a[1]), str(a[2])))
         seed("load_resource", new_resources, lambda a: (str(a[0]), str(a[1])))
         seed("load_midi_floww", midis, lambda a: (str(a[0]), str(a[1])))
+
+        def _inline_floww(a):
+            # extension beyond the reference API (its flowws come only
+            # from MIDI files or streams, state.rs:240-250): declare an
+            # event pattern directly from Lua as { {t_sec, note, vel01},
+            # ... } (optional 4th element = channel), enabling generative
+            # scores with no external files. vel 0 is a note-off, like
+            # the MIDI path (fileio/midi.py read_floww_from_midi).
+            name, tbl = str(a[0]), a[1]
+            rows = []
+            for item in tbl.array_items():
+                vals = item.array_items()
+                ch = float(vals[3]) if len(vals) > 3 else 0.0
+                rows.append(
+                    (ch, float(vals[0]), float(vals[1]), float(vals[2]))
+                )
+            rows.sort(key=lambda r: r[1])  # bank fast paths want t sorted
+            events = np.asarray(rows, np.float32).reshape(-1, 4)
+            return (name, events)
+
+        seed("declare_floww", inline_flowws, _inline_floww)
         lua.set_global("declare_stream", lambda name: streams.append(str(name)))
         seed("load_lv2", new_lv2plugins, lambda a: (str(a[0]), str(a[1])))
         seed("parameter", new_lv2params,
@@ -321,6 +343,8 @@ class State:
             except ValueError as e:
                 print(f"{RED}{e}{DEFAULT}")
                 raise RefreshAbort from None
+        for name, events in inline_flowws:
+            self.fb.declare_floww(name, events)
         for name in streams:
             self.fb.declare_stream(name)
 

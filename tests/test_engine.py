@@ -511,3 +511,59 @@ class TestLuaCoroutineProjectScripts:
         got, _ = read_wav(out, scale=False)
         assert got.shape[0] == int(np.ceil(SR * 0.25 / BL)) * BL
         assert np.abs(got).max() > 1000  # real audio from all three loops
+
+
+class TestInlineFlowwDeclaration:
+    """declare_floww: the Lua-declared pattern extension must be
+    indistinguishable from the same notes arriving through the MIDI path
+    (same (ch, t, note, vel) float32 rows -> same bake -> same PCM)."""
+
+    NOTES = [  # (start, dur, note, vel) on the 1/960 s tick grid
+        (0.05, 0.10, 40, 100),
+        (0.30, 0.10, 52, 80),
+        (0.55, 0.10, 45, 127),
+    ]
+
+    def _project(self, tmp_path, floww_lua):
+        tone_wav(tmp_path / "tone.wav", freq=300.0, dur=0.12)
+        out = tmp_path / "out.wav"
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(1.0);
+            set_render_samplerate({SR});
+            set_output_file("{out}");
+            load_sample("tone", "{tmp_path}/tone.wav", "");
+            {floww_lua}
+            add_sample_multi("v", 1.0, 0.0, "tone", "pat", -1);
+            add_normalize("sum", 1.0, 0.0);
+            connect("v", "sum");
+            set_output("sum");
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        st.render()
+        got, _ = read_wav(out, scale=False)
+        return got
+
+    def test_matches_the_midi_path_bit_exactly(self, tmp_path):
+        from termdaw_tpu.fileio.midi import write_midi
+
+        mdir = tmp_path / "midi"
+        ldir = tmp_path / "lua"
+        mdir.mkdir()
+        ldir.mkdir()
+        write_midi(mdir / "pat.mid", self.NOTES, bpm=120)
+        via_midi = self._project(
+            mdir, f'load_midi_floww("pat", "{mdir}/pat.mid");'
+        )
+        rows = []
+        for start, dur, note, vel in self.NOTES:
+            rows.append(f"{{ {start}, {note}, {vel}/127.0 }}")
+            rows.append(f"{{ {start + dur}, {note}, 0.0 }}")
+        via_lua = self._project(
+            ldir, f'declare_floww("pat", {{ {", ".join(rows)} }});'
+        )
+        np.testing.assert_array_equal(via_midi, via_lua)
+        assert np.abs(via_midi).max() > 1000  # the pattern actually plays
