@@ -356,6 +356,10 @@ def main():
     import jax
 
     report["backend"] = jax.default_backend()
+    # bank per-config results so a mid-run backend outage still leaves an
+    # artifact naming what succeeded (the bench learned this in round 4:
+    # claims without captured artifacts don't count)
+    out = REPO / f"PARITY_{tag}.json"
     for name, fn in [
         ("config1_sampleloops", config1),
         ("config2_negadsr", config2),
@@ -363,8 +367,12 @@ def main():
         ("config4_fx_chain_invariance", config4),
         ("config5_multitrack_fused", config5),
     ]:
-        report[name] = m = fn(tmp / name, rng)
+        try:
+            report[name] = m = fn(tmp / name, rng)
+        except Exception as e:  # noqa: BLE001 — keep the partial artifact
+            report[name] = m = {"error": f"{type(e).__name__}: {e}"}
         log(f"{name}: {m}")
+        out.write_text(json.dumps(report, indent=1))
     if full:
         # production-shape entries (VERDICT r2 item 5): 48 kHz / 1024-frame
         # blocks over a full-length timeline, where the reference's
@@ -376,13 +384,16 @@ def main():
             ("config1_full_48k", config1, 48000, 1024, 1875),   # 40 s
             ("config3_full_48k", config3, 48000, 1024, 564),    # ~12 s
         ]:
-            with _shaped(sr2, bl2, nb2):
-                report[name] = m = fn(tmp / name, rng)
-            m["sr"] = sr2
-            m["bl"] = bl2
-            m["blocks"] = nb2
+            try:
+                with _shaped(sr2, bl2, nb2):
+                    report[name] = m = fn(tmp / name, rng)
+                m["sr"] = sr2
+                m["bl"] = bl2
+                m["blocks"] = nb2
+            except Exception as e:  # noqa: BLE001
+                report[name] = m = {"error": f"{type(e).__name__}: {e}"}
             log(f"{name}: {m}")
-    out = REPO / f"PARITY_{tag}.json"
+            out.write_text(json.dumps(report, indent=1))
     out.write_text(json.dumps(report, indent=1))
     print(json.dumps(report))
     log(f"wrote {out}")
