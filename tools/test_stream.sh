@@ -58,6 +58,8 @@ secs = len(a)/16000
 peak = float(np.max(np.abs(a)))
 nz = float(np.mean(np.any(a != 0, axis=1)))
 print(f"captured {secs:.1f}s, peak {peak:.3f}, nonzero-frame ratio {nz:.2f}")
-assert secs > 3 and peak > 0.2 and nz > 0.3, "stream smoke failed"
+# measured healthy density is 0.32-0.36 (decaying drum hits leave zero
+# frames between onsets); 0.25 keeps margin without passing starvation
+assert secs > 3 and peak > 0.2 and nz > 0.25, "stream smoke failed"
 print("STREAM SMOKE OK")
 EOF
