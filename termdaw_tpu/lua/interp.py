@@ -432,13 +432,17 @@ def _build_stdlib(rt: "LuaRuntime") -> dict:
 
         items = t.array_items()
 
-        # Lua `<` semantics (numbers or strings; mixed types error)
+        # Lua `<` semantics (numbers or strings; tables via __lt;
+        # anything else errors)
         def default_lt(a, b):
             if isinstance(a, str) and isinstance(b, str):
                 return a < b
             if (isinstance(a, (int, float)) and not isinstance(a, bool)
                     and isinstance(b, (int, float)) and not isinstance(b, bool)):
                 return a < b
+            res = rt._meta_bin("__lt", a, b)
+            if res is not _MISSING:
+                return _truthy(res)
             raise LuaError(
                 f"attempt to compare {lua_type(a)} with {lua_type(b)}"
             )

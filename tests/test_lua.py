@@ -459,6 +459,18 @@ def test_table_sort_and_pack():
     assert (g("pn"), g("p2")) == (3, "y")
     with pytest.raises(LuaError, match="attempt to compare"):
         run('table.sort({1, "a"})')
+    # comparator-less sort honors the elements' __lt metamethod
+    rt2 = run(
+        """
+        local T = {}
+        T.__lt = function(a, b) return a.v < b.v end
+        local function w(v) return setmetatable({v = v}, T) end
+        local t = { w(3), w(1), w(2) }
+        table.sort(t)
+        order = t[1].v .. t[2].v .. t[3].v
+        """
+    )
+    assert rt2.get_global("order") == "123"
 
 
 class TestGoto:
