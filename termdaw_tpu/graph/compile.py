@@ -665,7 +665,20 @@ class CompiledGraph:
             return None
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else None
-        return dict(ca) if ca else None
+        if not ca:
+            return None
+        out = dict(ca)
+        try:
+            ma = compiled.memory_analysis()
+            out["_mem"] = {
+                "arg_bytes": int(ma.argument_size_in_bytes),
+                "out_bytes": int(ma.output_size_in_bytes),
+                "temp_bytes": int(ma.temp_size_in_bytes),
+                "peak_bytes": int(ma.peak_memory_in_bytes),
+            }
+        except Exception:
+            pass  # physical-bytes floor simply absent from the roofline
+        return out
 
     def _pack_fx(self) -> tuple[np.ndarray, tuple]:
         """Traced effect parameters as one f32 vector + static layout.

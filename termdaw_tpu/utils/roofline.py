@@ -11,7 +11,11 @@ chip's public peaks.
 Caveats, stated where the numbers land (docs/perf.md "Roofline"):
   * XLA's "bytes accessed" is a LOGICAL count — gathers and scans are
     inflated vs physical HBM traffic — so the derived GB/s is an upper
-    estimate of demand, not a DMA measurement.
+    estimate of demand, not a DMA measurement. A physically-scaled
+    estimate (args read + outputs written + temps written+read, from the
+    executable's memory_analysis) lands alongside as `*_phys_est`, and
+    the `bound` label uses it: a fused program whose LOGICAL traffic
+    exceeds the HBM peak is fusion saving traffic, not a saturated bus.
   * flops are counted at the HLO level; the engine computes in f32 with
     `Precision.HIGHEST` (CLAUDE.md), which the MXU executes as multiple
     bf16 passes, so f32 utilization vs the bf16 peak is the honest
@@ -111,6 +115,9 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
     st.fb.set_time(0)
     flops = 0.0
     byts = 0.0
+    phys = 0.0          # physical-traffic estimate (see below)
+    peak_hbm_window = 0  # largest per-dispatch HBM footprint
+    have_mem = True
     source = "xla_cost_analysis"
     for nb, cnt in sorted(counts.items()):
         ca = cg.window_cost(st.fb, nb)
@@ -120,9 +127,25 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
             # bench still reports SOMETHING hardware-denominated, labeled
             flops, byts = _analytic_window_model(cg, counts)
             source = "analytic_floor"
+            have_mem = False
             break
         flops += float(ca.get("flops", 0.0)) * cnt
         byts += float(ca.get("bytes accessed", 0.0)) * cnt
+        mem = ca.get("_mem")
+        if mem is None:
+            have_mem = False
+        else:
+            # per-dispatch physical HBM traffic estimate: every argument
+            # read once, output written once, temps written+read once.
+            # An ESTIMATE, not a bound in either direction: gathers may
+            # touch only part of an argument (overcount), re-reads of a
+            # hot argument are counted once (undercount), temps may live
+            # in VMEM (overcount). Still physically scaled, unlike the
+            # logical count, which fusion can inflate far beyond 100% of
+            # the HBM peak.
+            phys += (mem["arg_bytes"] + mem["out_bytes"]
+                     + 2 * mem["temp_bytes"]) * cnt
+            peak_hbm_window = max(peak_hbm_window, mem["peak_bytes"])
     cg.set_time(0)
     st.fb.set_time(0)
     flops += _resampler_flops(st, length_sec)
@@ -133,6 +156,10 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
         "window_gbytes_logical": round(byts / 1e9, 2),
         "source": source,
     }
+    if have_mem:
+        out["hbm_gbps_phys_est"] = round(phys / chip_s / 1e9, 1)
+        out["window_gbytes_phys_est"] = round(phys / 1e9, 3)
+        out["peak_hbm_window_mb"] = round(peak_hbm_window / 1e6, 1)
     import jax
 
     peaks = chip_peaks(jax.devices()[0])
@@ -144,10 +171,19 @@ def config_roofline(st, chip_s: float, length_sec: float) -> dict | None:
         out["hbm_util_pct"] = round(
             byts / chip_s / (peak_gbps * 1e9) * 100.0, 2
         )
-        # which wall is closer at this op intensity (logical-bytes caveat
-        # applies): the bound whose utilization is higher
-        out["bound"] = ("hbm" if out["hbm_util_pct"] >= out["mxu_util_pct"]
-                        else "mxu")
+        # which wall is closer: judge HBM by the physically-scaled
+        # estimate when available (the logical count can exceed 100% of
+        # peak on fused programs — that's fusion SAVING traffic, not a
+        # saturated bus). When both walls sit below 2%, the window is
+        # dominated by fixed per-dispatch latency, not a roofline.
+        hbm_pct = out["hbm_util_pct"]
+        if have_mem:
+            hbm_pct = round(phys / chip_s / (peak_gbps * 1e9) * 100.0, 2)
+            out["hbm_util_pct_phys_est"] = hbm_pct
+        if max(hbm_pct, out["mxu_util_pct"]) < 2.0:
+            out["bound"] = "dispatch"
+        else:
+            out["bound"] = "hbm" if hbm_pct >= out["mxu_util_pct"] else "mxu"
     return out
 
 
@@ -166,8 +202,11 @@ def roofline_extras(states: dict, extra: dict, length_sec: float) -> None:
             extra[f"{name}_util_error"] = "cost analysis unavailable"
             continue
         extra[f"{name}_util"] = util
+        phys = (f" ({util['hbm_gbps_phys_est']} GB/s phys-est)"
+                if "hbm_gbps_phys_est" in util else "")
         log(f"{name}: {util['gflops_per_s']} GFLOP/s, "
-            f"{util['hbm_gbps_logical']} GB/s logical"
+            f"{util['hbm_gbps_logical']} GB/s logical{phys}"
             + (f" -> {util.get('mxu_util_pct')}% MXU / "
-               f"{util.get('hbm_util_pct')}% HBM ({util.get('bound')}-bound)"
+               f"{util.get('hbm_util_pct_phys_est', util.get('hbm_util_pct'))}"
+               f"% HBM ({util.get('bound')}-bound)"
                if "bound" in util else ""))
