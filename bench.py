@@ -36,8 +36,10 @@ Secondary configs (BASELINE.md 2-5) are timed the same two ways in extra.
 Status goes to stderr.
 
 Env knobs: BENCH_LENGTH_SEC (40), BENCH_REPS (5), BENCH_CONFIGS
-(comma-subset of BUILDERS), BENCH_LATE (configs measured after all
-bounded metrics; default c7_stream1024), BENCH_DEADLINE_S (2400),
+(comma-subset of BUILDERS), BENCH_LATE (configs measured LAST, each in
+its own fresh subprocess so it rides pre-fetch pipelined dispatch and a
+stall in it cannot cost anything already banked; default c7_stream1024),
+BENCH_LATE_TIMEOUT_S (600 per late config), BENCH_DEADLINE_S (2400),
 BENCH_STALL_S (900), BENCH_PROBE_TIMEOUT_S (240), BENCH_PROBE_WINDOW_S
 (900), BENCH_SKIP_PLAYBACK/BENCH_SKIP_E2E/BENCH_SKIP_ROOFLINE (test
 shortcuts), BENCH_FAKE_OUTAGE / BENCH_FAKE_STALL (failure-path test
@@ -667,6 +669,75 @@ def measure_playback(st, extra: dict, seconds: float = 6.0) -> None:
         f"({rate:.2f}x realtime), max deficit {max_deficit:.0f} ms")
 
 
+def run_late_config(name: str, status_path: Path, extra: dict,
+                    length_sec: float, reps: int) -> None:
+    """Measure one late config in a fresh subprocess (pre-fetch dispatch
+    mode) with its own kill timeout; merge its extras on success. Keeps
+    the parent watchdog's status file fresh while waiting so a long
+    build/compile is not misread as a stall."""
+    timeout_s = float(os.environ.get("BENCH_LATE_TIMEOUT_S", "600"))
+    out_path = Path(tempfile.mkdtemp(prefix="termdaw_late_")) / "extras.json"
+    log(f"{name}: measuring in a fresh subprocess (late phase)...")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--late-child",
+         name, str(out_path)],
+        stdout=sys.stderr, stderr=sys.stderr, start_new_session=True,
+    )
+    t0 = time.monotonic()
+    while proc.poll() is None:
+        if time.monotonic() - t0 > timeout_s:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                proc.kill()
+            proc.wait(timeout=30)
+            extra[f"{name}_error"] = (
+                f"late config subprocess timed out after {timeout_s:.0f}s"
+            )
+            log(f"{name}: late subprocess timed out — killed")
+            return
+        os.utime(status_path)  # progress heartbeat for the stall watchdog
+        time.sleep(2.0)
+    got = _read_json(out_path)
+    if proc.returncode != 0 or got is None:
+        extra[f"{name}_error"] = (
+            f"late config subprocess exited rc={proc.returncode} "
+            "without extras"
+        )
+        log(f"{name}: late subprocess failed rc={proc.returncode}")
+        return
+    extra.update(got)
+
+
+def late_child_main(name: str, out_path: Path) -> None:
+    """Fresh-process measurement of one config: build, chip-time with the
+    spread guard (never fetching, so the process stays in pipelined
+    dispatch), write the extras JSON, exit."""
+    sys.stdout = sys.stderr
+    sys.path.insert(0, str(Path(__file__).parent))
+    if os.environ.get("BENCH_FAKE_STALL", "") == f"late:{name}":
+        log(f"BENCH_FAKE_STALL: wedging late child {name}")
+        time.sleep(10000)
+
+    from termdaw_tpu.utils.jaxcache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    length_sec = float(os.environ.get("BENCH_LENGTH_SEC", "40"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    extra: dict = {}
+    st = BUILDERS[name](
+        Path(tempfile.mkdtemp(prefix="termdaw_bench_")) / name,
+        length_sec, 48000, 1024,
+    )
+    measure_chip(st, length_sec, reps, name, extra, spread_guard=True)
+    extra[f"{name}_fresh_process"] = True
+    tmp = out_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(extra))
+    os.replace(tmp, out_path)
+    sys.stderr.flush()
+    os._exit(0)
+
+
 class _Checkpoint:
     """Banks the full current result to disk after every milestone so a
     watchdog kill still reports everything measured so far."""
@@ -815,21 +886,20 @@ def child_main(result_path: Path, status_path: Path) -> None:
             extra["playback_error"] = str(e)[:300]
     ckpt("playback")
 
-    # late phase: the scaling extras (see `late` above). Post-fetch
-    # dispatch mode adds ~20-25 ms per window call on this tunnel, so the
-    # timing is labeled; a stall here costs nothing already banked.
-    for name, build in late.items():
-        try:
-            log(f"building {name} (late phase)...")
-            st = build(tmp / name, length_sec, sr, bl)
-            ckpt(f"built:{name}")
-            measure_chip(st, length_sec, reps, name, extra,
-                         spread_guard=True)
-            extra[f"{name}_post_fetch_mode"] = True
-        except Exception as e:  # pragma: no cover
-            log(f"{name} failed: {e}")
-            extra[f"{name}_error"] = str(e)[:300]
+    # late phase: the scaling extras (see `late` above). Each runs in a
+    # FRESH killable subprocess: (a) a new process is in pre-fetch
+    # pipelined-dispatch mode, so the timing is the honest chip number —
+    # measured in-process here it would instead pay this tunnel's
+    # post-fetch ~20-25 ms per dispatch (c7 read 389x that way vs 973x
+    # pre-fetch); (b) a stall in the biggest config dies on its own
+    # bounded timeout without costing anything already banked.
+    for name in late:
+        run_late_config(name, status_path, extra, length_sec, reps)
         ckpt(f"chip:{name}")
+    if ckpt.chip1 is None and "c1_chip_p50_ms" in extra:
+        # c1 can be routed through the late phase (BENCH_LATE=c1); its
+        # measurement is still the headline
+        ckpt.chip1 = extra["c1_chip_p50_ms"] / 1e3
 
     ckpt("done", done=True)
     sys.stderr.flush()
@@ -839,5 +909,7 @@ def child_main(result_path: Path, status_path: Path) -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--child":
         child_main(Path(sys.argv[2]), Path(sys.argv[3]))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--late-child":
+        late_child_main(sys.argv[2], Path(sys.argv[3]))
     else:
         main()

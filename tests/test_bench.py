@@ -153,6 +153,56 @@ def test_unknown_configs_error():
 
 
 @pytest.mark.slow
+def test_late_config_fresh_subprocess():
+    """A config routed through BENCH_LATE must be measured in a fresh
+    subprocess (pre-fetch dispatch mode), its extras merged, and — when it
+    is c1 — still feed the headline."""
+    out = run_bench(
+        {
+            "BENCH_SKIP_PROBE": "1",
+            "BENCH_LENGTH_SEC": "2",
+            "BENCH_REPS": "2",
+            "BENCH_CONFIGS": "c1",
+            "BENCH_LATE": "c1",
+            "BENCH_SKIP_PLAYBACK": "1",
+            "BENCH_SKIP_E2E": "1",
+            "BENCH_SKIP_ROOFLINE": "1",
+        },
+        timeout=560,
+    )
+    assert "error" not in out
+    assert out["value"] > 0.0
+    assert out["extra"]["c1_chip_xrt"] == out["value"]
+    assert out["extra"]["c1_fresh_process"] is True
+
+
+def test_late_config_stall_is_bounded():
+    """A late-config subprocess that wedges must be killed by its own
+    BENCH_LATE_TIMEOUT_S without costing the run (rc=0, error recorded
+    per-config, run reaches done)."""
+    out = run_bench(
+        {
+            "BENCH_SKIP_PROBE": "1",
+            "BENCH_LENGTH_SEC": "2",
+            "BENCH_REPS": "2",
+            "BENCH_CONFIGS": "c1",
+            "BENCH_LATE": "c1",
+            "BENCH_FAKE_STALL": "late:c1",
+            "BENCH_LATE_TIMEOUT_S": "5",
+            "BENCH_SKIP_PLAYBACK": "1",
+            "BENCH_SKIP_E2E": "1",
+            "BENCH_SKIP_ROOFLINE": "1",
+        },
+        timeout=300,
+    )
+    assert "timed out" in out["extra"]["c1_error"]
+    # nothing was measured, so the headline is honestly 0 — but the run
+    # itself completed (no watchdog kill, no top-level crash)
+    assert out["value"] == 0.0
+    assert "stalled" not in out.get("error", "")
+
+
+@pytest.mark.slow
 def test_sigterm_reports_partials_and_reaps_child():
     """A driver SIGTERM mid-run must still print the one JSON line with
     the banked partials, and must not leave the measurement child alive
