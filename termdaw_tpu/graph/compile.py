@@ -93,6 +93,34 @@ _PROGRAM_CACHE_CAP = max(
 )
 
 
+class _SpecKey:
+    """Hash-caching wrapper for the (large) program-spec tuple.
+
+    The per-window program lookup hashes its cache key twice; Python
+    tuples do not cache hashes, so at 256+ vertices that re-hashed every
+    _VertexStatic dataclass each window (~1 ms of a dispatch-bound
+    config's ~3 ms host budget). Equality still compares the underlying
+    tuples, so cross-refresh program reuse is unchanged; repr delegates
+    so the persistent AOT cache key string is unchanged too."""
+
+    __slots__ = ("spec", "_hash")
+
+    def __init__(self, spec: tuple) -> None:
+        self.spec = spec
+        self._hash = hash(spec)
+
+    def __hash__(self) -> int:
+        return self._hash
+
+    def __eq__(self, other) -> bool:
+        return self is other or (
+            isinstance(other, _SpecKey) and self.spec == other.spec
+        )
+
+    def __repr__(self) -> str:
+        return repr(self.spec)
+
+
 def _cache_get(key):
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
@@ -357,7 +385,7 @@ class CompiledGraph:
         # vertex config reuses every compiled program — hot reload stays hot
         # (the reference's refresh has no compile step to amortize;
         # state.rs:50-471)
-        self.spec = (
+        self.spec = _SpecKey((
             bl, sr, self.use_pallas, self.pallas_interpret,
             self.exact_biquad,
             tuple(self.order),
@@ -367,7 +395,7 @@ class CompiledGraph:
             tuple(int(s.shape[0]) for s in self.samples),
             tuple(tuple(w.shape for w in wt) for wt in self.wavetables),
             len(graph.vertices),
-        )
+        ))
 
         # traced per-vertex scalar params, indexed by vertex id
         self._gains = jnp.asarray(
@@ -443,7 +471,6 @@ class CompiledGraph:
             sorted(self.samples_padded, key=lambda k: (isinstance(k, tuple), k))
         )
 
-        self._jit_cache = _PROGRAM_CACHE  # shared across refreshes
         # per-fused-group pooled event arrays, keyed by FlowwBank version
         self._pool_cache: dict[int, tuple] = {}
         # per-(consumer, member) processed event arrays, keyed by the
@@ -760,7 +787,8 @@ class CompiledGraph:
         )
         key = (self.spec, "sharded", nb_total, is_scan, n_dev, fx_layout,
                ttab_len)
-        if _cache_get(key) is None:
+        sharded_fn = _cache_get(key)
+        if sharded_fn is None:
             state_spec = jax.tree.map(lambda _: P(), self.num_state)
             in_specs = (
                 state_spec,
@@ -782,9 +810,10 @@ class CompiledGraph:
                 mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
-            _cache_put(key, jax.jit(fn))
+            sharded_fn = jax.jit(fn)
+            _cache_put(key, sharded_fn)
 
-        new_state, audio = self._jit_cache[key](
+        new_state, audio = sharded_fn(
             self.num_state,
             (self._gains, self._angles, self._wets),
             bakes,
@@ -1142,7 +1171,8 @@ class CompiledGraph:
     # -- program construction -------------------------------------------------
     def _get_fn(self, nb: int, is_scan: bool, layout: tuple, fx_layout: tuple):
         key = (self.spec, nb, is_scan, layout, fx_layout)
-        if _cache_get(key) is None:
+        fn = _cache_get(key)
+        if fn is None:
 
             def packed(num_state, params, ints_buf, floats_buf, fx_vec,
                        samples, samples_padded, wts, t0, ttab):
@@ -1157,8 +1187,9 @@ class CompiledGraph:
 
             from ..utils.aotcache import AotProgram
 
-            _cache_put(key, AotProgram(jax.jit(packed), repr(key)))
-        return self._jit_cache[key]
+            fn = AotProgram(jax.jit(packed), repr(key))
+            _cache_put(key, fn)
+        return fn
 
     def _fused_mix(
         self, consumer: int, members, bakes, params, nb: int,

@@ -74,13 +74,24 @@ def _fingerprint() -> str:
     return _FINGERPRINT
 
 
+_DTYPE_STR: dict = {}
+
+
+def _dtype_str(dt) -> str:
+    """str(np.dtype) memoized — it shows up in per-dispatch profiles."""
+    s = _DTYPE_STR.get(dt)
+    if s is None:
+        s = _DTYPE_STR[dt] = str(dt)
+    return s
+
+
 def args_signature(args) -> tuple:
     import jax
 
     leaves = jax.tree_util.tree_leaves(args)
     return tuple(
         (tuple(getattr(x, "shape", ())),
-         str(getattr(x, "dtype", type(x).__name__)))
+         _dtype_str(getattr(x, "dtype", type(x).__name__)))
         for x in leaves
     )
 
