@@ -35,6 +35,13 @@ touches jax itself. It
 Secondary configs (BASELINE.md 2-5) are timed the same two ways in extra.
 Status goes to stderr.
 
+Output contract (VERDICT r4 item 1): the stdout line carries only the
+headline extras (per-config chip/e2e xRT, pass/fail booleans, link,
+backend probe, errors) and stays <= 2000 chars so the driver's bounded
+capture parses it; the FULL extras (roofline dicts, percentiles, spreads,
+compile times) go to a sidecar JSON — docs/captures/bench_full_latest.json
+by default, BENCH_SIDECAR to override.
+
 Env knobs: BENCH_LENGTH_SEC (40), BENCH_REPS (5), BENCH_CONFIGS
 (comma-subset of BUILDERS), BENCH_LATE (configs measured LAST, each in
 its own fresh subprocess so it rides pre-fetch pipelined dispatch and a
@@ -156,6 +163,78 @@ def _fallback(error: str, extra: dict | None = None) -> dict:
     }
 
 
+# ---- stdout slimming (VERDICT r4 item 1) --------------------------------
+# The driver captures/parses a bounded stdout tail; r4's full extras grew
+# past it and BENCH_r04.json recorded "parsed": null. Contract now: the
+# ONE stdout line keeps only headline metrics (per-config chip/e2e xRT,
+# pass/fail booleans, link, backend probe, errors) and stays <= 2000
+# chars; the FULL result is written to a sidecar JSON (default
+# docs/captures/bench_full_latest.json, BENCH_SIDECAR to override).
+
+MAX_LINE_CHARS = 2000
+_SLIM_KEYS = {
+    "link_mbps", "tunnel_floor_xrt",
+    "stream_latency_p50_ms", "stream_latency_p95_ms", "stream_latency_ok",
+    "playback_gen_per_wall", "playback_realtime_ok", "playback_deficit_ok",
+    "backend_probe", "bench_configs_unknown", "sidecar",
+}
+
+
+def _slim_extra(extra: dict) -> dict:
+    slim: dict = {}
+    for k, v in extra.items():
+        if k.endswith("_util") and isinstance(v, dict):
+            s = {kk: v[kk] for kk in ("gflops_per_s", "bound") if kk in v}
+            slim[k] = s
+        elif k == "probe_attempts" and isinstance(v, list):
+            slim[k] = v[-3:]  # the tail names the terminal failure
+        elif (k.endswith(("_chip_xrt", "_e2e_xrt", "_error",
+                          "_fresh_process"))
+              or k in _SLIM_KEYS):
+            slim[k] = v
+    return slim
+
+
+def _shrink_to_budget(result: dict) -> str:
+    """Serialize, dropping progressively less-essential extras until the
+    line fits MAX_LINE_CHARS (belt-and-suspenders; the slim set fits)."""
+    drop_order = [
+        lambda e: [k for k in e if k.endswith("_util")],
+        lambda e: [k for k in e if k.endswith("_e2e_xrt")],
+        lambda e: ["probe_attempts"] if "probe_attempts" in e else [],
+    ]
+    line = json.dumps(result)
+    for pick in drop_order:
+        if len(line) <= MAX_LINE_CHARS:
+            return line
+        extra = result.get("extra", {})
+        for k in pick(extra):
+            extra.pop(k, None)
+        line = json.dumps(result)
+    return line
+
+
+def _write_sidecar(result: dict) -> str | None:
+    """Write the full (pre-slim) result next to the committed captures.
+    Best-effort: a failure here must never cost the stdout line."""
+    path = os.environ.get("BENCH_SIDECAR", "")
+    if not path:
+        path = str(Path(__file__).resolve().parent
+                   / "docs" / "captures" / "bench_full_latest.json")
+    try:
+        full = dict(result)
+        full["captured_unix"] = int(time.time())
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(full, indent=1) + "\n")
+        os.replace(tmp, p)
+        return path
+    except Exception as e:  # pragma: no cover
+        log(f"sidecar write failed: {e}")
+        return None
+
+
 def main() -> None:
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
     stall_s = float(os.environ.get("BENCH_STALL_S", "900"))
@@ -247,8 +326,13 @@ def main() -> None:
         if result is None:  # unreachable belt-and-suspenders
             result = _fallback("bench harness exited without a result")
         result.pop("done", None)
+        sidecar = _write_sidecar(result)
+        if sidecar:
+            result.setdefault("extra", {})["sidecar"] = sidecar
+        result["extra"] = _slim_extra(result.get("extra", {}))
+        line = _shrink_to_budget(result)
         sys.stderr.flush()
-        print(json.dumps(result), flush=True)
+        print(line, flush=True)
 
 
 # =========================================================================
@@ -501,6 +585,10 @@ def measure_chip(st, length_sec: float, reps: int, name: str, extra: dict,
     chip = statistics.median(chip_ts)
     extra[f"{name}_chip_xrt"] = round(length_sec / chip, 1)
     extra[f"{name}_chip_p50_ms"] = round(chip * 1e3, 2)
+    # unrounded seconds (ADVICE r4 low): when this config rides the late
+    # phase, the parent reconstructs the headline from it — the rounded
+    # p50_ms would disagree with the independently rounded chip_xrt
+    extra[f"{name}_chip_s"] = chip
     extra[f"{name}_compile_s"] = round(compile_s, 1)
     log(f"{name}: chip {chip*1e3:.1f} ms ({length_sec/chip:.0f}x RT) | "
         f"warmup {compile_s:.1f}s")
@@ -678,10 +766,16 @@ def run_late_config(name: str, status_path: Path, extra: dict,
     timeout_s = float(os.environ.get("BENCH_LATE_TIMEOUT_S", "600"))
     out_path = Path(tempfile.mkdtemp(prefix="termdaw_late_")) / "extras.json"
     log(f"{name}: measuring in a fresh subprocess (late phase)...")
+    # NO start_new_session here (ADVICE r4 medium): the grandchild must
+    # share the bench child's process group so the parent watchdog's
+    # killpg reaps it too — a session of its own would orphan it wedged
+    # in a jax call, holding the single shared chip. The timeout path
+    # below still works for a non-group-leader: killpg(pid) raises and
+    # falls back to proc.kill().
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--late-child",
          name, str(out_path)],
-        stdout=sys.stderr, stderr=sys.stderr, start_new_session=True,
+        stdout=sys.stderr, stderr=sys.stderr,
     )
     t0 = time.monotonic()
     while proc.poll() is None:
@@ -690,7 +784,10 @@ def run_late_config(name: str, status_path: Path, extra: dict,
                 os.killpg(proc.pid, signal.SIGKILL)
             except OSError:
                 proc.kill()
-            proc.wait(timeout=30)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:  # pragma: no cover
+                pass  # unreapable (D-state); record the timeout and go on
             extra[f"{name}_error"] = (
                 f"late config subprocess timed out after {timeout_s:.0f}s"
             )
@@ -896,10 +993,10 @@ def child_main(result_path: Path, status_path: Path) -> None:
     for name in late:
         run_late_config(name, status_path, extra, length_sec, reps)
         ckpt(f"chip:{name}")
-    if ckpt.chip1 is None and "c1_chip_p50_ms" in extra:
+    if ckpt.chip1 is None and "c1_chip_s" in extra:
         # c1 can be routed through the late phase (BENCH_LATE=c1); its
-        # measurement is still the headline
-        ckpt.chip1 = extra["c1_chip_p50_ms"] / 1e3
+        # measurement is still the headline (unrounded, ADVICE r4 low)
+        ckpt.chip1 = extra["c1_chip_s"]
 
     ckpt("done", done=True)
     sys.stderr.flush()
