@@ -167,6 +167,82 @@ class TestUiWorkflow:
         assert p.millis_generated - elapsed_ms <= lead_ms + 32 * block_ms
 
 
+    @pytest.mark.slow
+    def test_refresh_during_playback_and_cache_reuse(self, tmp_path):
+        """Mid-play `refresh` with a TOPOLOGY change (VERDICT r4 item 8):
+        the reference stops the device and rebuilds (ui_workflow.rs:
+        114-119), then `play` restarts pacing. Pins (a) the rebuilt graph
+        plays immediately and correctly, (b) refreshing BACK to a prior
+        topology reuses its compiled window programs via the
+        cross-refresh program cache (compile.py:90-134) — resuming mints
+        ZERO new compiled entries, so the audible gap is the prebuffer
+        render, not a cold compile."""
+        import time
+
+        from termdaw_tpu.engine.player import Player
+        from termdaw_tpu.graph import compile as C
+
+        t = np.arange(SR // 4) / SR
+        x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        write_wav(tmp_path / "tone.wav", np.stack([x, x], 1), SR, bits=16)
+
+        def lua_src(n_loops):
+            lines = [
+                "set_length(2.0);",
+                f'set_output_file("{tmp_path}/o.wav");',
+                f'load_sample("tone", "{tmp_path}/tone.wav", "");',
+                'add_normalize("sum", 1.0, 0.0);',
+            ]
+            for i in range(n_loops):
+                lines += [
+                    f'add_sampleloop("l{i}", {1.0 / (i + 1):.3f}, 0.0, '
+                    '"tone");',
+                    f'connect("l{i}", "sum");',
+                ]
+            lines.append('set_output("sum");')
+            return "\n".join(lines)
+
+        (tmp_path / "project.toml").write_text(
+            f'[settings]\nmain = "project.lua"\nbuffer_length = {BL}\n'
+            f"project_samplerate = {SR}\n"
+        )
+        (tmp_path / "project.lua").write_text(lua_src(1))
+        st = State(Config.read(tmp_path / "project.toml"), str(tmp_path))
+        st.refresh()
+        assert st.loaded
+        sink = NullSink(SR)
+        p = Player(st, sink, SR, BL)
+
+        def play_a_bit():
+            p.play()
+            for _ in range(6):
+                p.tick()
+                time.sleep(0.002)
+            assert p.millis_generated > 0
+            assert sink.frames_queued >= Player.PREBUFFER_BLOCKS * BL
+
+        def refresh_mid_play(src):
+            # the ui.py 'refresh' sequence, issued while playing
+            # (reference ui_workflow.rs:114-119 order)
+            (tmp_path / "project.lua").write_text(src)
+            st.refresh()
+            p.playing = False
+            sink.clear()
+            sink.pause()
+            assert st.loaded
+
+        play_a_bit()
+        refresh_mid_play(lua_src(2))   # topology change while playing
+        play_a_bit()                   # rebuilt graph plays immediately
+        refresh_mid_play(lua_src(1))   # back to the original topology
+        n_programs = len(C._PROGRAM_CACHE)
+        play_a_bit()
+        assert len(C._PROGRAM_CACHE) == n_programs, (
+            "resuming a previously-compiled topology must hit the "
+            "program cache, not mint new compiled entries"
+        )
+
+
 class TestStreamWorkflow:
     def test_stream_events_render(self, tmp_path):
         t = np.arange(SR // 8) / SR

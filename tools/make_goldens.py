@@ -1,13 +1,17 @@
 """Regenerate the committed golden renders for the shipped examples.
 
-    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/make_goldens.py
+    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/make_goldens.py   # CPU set
+    python tools/make_goldens.py                                           # TPU set (on the chip)
 
 Each golden is the first GOLDEN_BLOCKS blocks of the example's render
-(16-bit WAV), committed under tests/goldens/. tests/test_examples.py
-compares fresh renders against them within GOLDEN_TOL_DBFS — loose enough
-for backend-level f32 differences (TPU vs CPU transcendentals, the biquad
-cascade), tight enough to catch any semantic regression. Regenerate ONLY
-when a render change is intentional and documented.
+(16-bit WAV), committed under tests/goldens/ as {name}.{backend}.wav
+(backend = cpu | tpu). tests/test_examples.py compares fresh renders
+against the SAME-backend golden within SAME_BACKEND_TOL_DBFS (-90 dBFS,
+i.e. at most one 16-bit LSB — VERDICT r4 item 6); when no same-backend
+golden is committed it falls back to the legacy cross-backend
+{name}.wav under GOLDEN_TOL_DBFS (loose enough for TPU-vs-CPU f32
+transcendental/biquad drift). Regenerate ONLY when a render change is
+intentional and documented.
 """
 
 from __future__ import annotations
@@ -39,7 +43,19 @@ GOLDEN_TOL_DBFS = {
     "neg-adsr-env": -75.0,
     "synth-adsr-fx": -55.0,
 }
+# same-backend bound: at most one 16-bit LSB (1/32768 = -90.3 dBFS).
+# Renders on one backend are deterministic per compiled program; the
+# single-LSB allowance absorbs XLA toolchain rotation.
+SAME_BACKEND_TOL_DBFS = -90.0
 EXAMPLES = ["project", "sample-project", "neg-adsr-env", "synth-adsr-fx"]
+
+
+def backend_tag() -> str:
+    """cpu | tpu for golden file naming (anything accelerated is 'tpu' —
+    the axon plugin spells the platform differently than a TPU VM)."""
+    import jax
+
+    return "cpu" if jax.default_backend() == "cpu" else "tpu"
 
 
 def render_example(name: str, out_path: Path) -> None:
@@ -61,17 +77,18 @@ def main() -> None:
     import _gen
 
     _gen.ensure()
+    tag = backend_tag()
     gdir = REPO / "tests" / "goldens"
     gdir.mkdir(exist_ok=True)
     for name in EXAMPLES:
-        out = gdir / f"{name}.wav"
+        out = gdir / f"{name}.{tag}.wav"
         render_example(name, out)
         print(f"wrote {out}")
     # guard the guard: every pair of goldens must actually differ, or the
     # golden window is too short to cover what distinguishes the examples
     from termdaw_tpu.fileio.wav import read_wav
 
-    audio = {n: read_wav(gdir / f"{n}.wav", scale=True)[0]
+    audio = {n: read_wav(gdir / f"{n}.{tag}.wav", scale=True)[0]
              for n in EXAMPLES}
     for i, a in enumerate(EXAMPLES):
         for b in EXAMPLES[i + 1:]:
