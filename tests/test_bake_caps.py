@@ -507,3 +507,22 @@ class TestPrebakedChain:
         st2.fb.set_time(4 * bl)
         w2 = np.asarray(st2.compiled.render_window(st2.fb, 2))
         assert np.array_equal(w1, w2)
+
+    def test_budget_bounds_chain_with_live_tail(self, tmp_path, monkeypatch):
+        """TERMDAW_PREBAKE_MB bounds the stored chain: windows past the
+        budget live-bake, and the output still matches a fully-live
+        render bit-exactly (the chain prefix hands off mid-render)."""
+        import numpy as np
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        # ~0 MB budget: at most one window is stored
+        monkeypatch.setenv("TERMDAW_PREBAKE_MB", "0.000001")
+        st = _make_state(tmp_path, seed=9, length_sec=20.0)
+        r1 = self._render_np(st)
+        pb = st.compiled._prebaked
+        assert pb is not None and len(pb["wins"]) <= 1, (
+            "budget must stop the chain after the first window"
+        )
+        monkeypatch.setenv("TERMDAW_PREBAKE", "0")
+        st2 = _make_state(tmp_path, seed=9, length_sec=20.0)
+        assert np.array_equal(r1, self._render_np(st2))
