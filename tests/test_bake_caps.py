@@ -526,3 +526,53 @@ class TestPrebakedChain:
         monkeypatch.setenv("TERMDAW_PREBAKE", "0")
         st2 = _make_state(tmp_path, seed=9, length_sec=20.0)
         assert np.array_equal(r1, self._render_np(st2))
+
+    def test_stateful_carries_serve_recorded_chain(self, tmp_path,
+                                                   monkeypatch):
+        """Carries that stay legitimately stateful across renders (a
+        SampleLerp voice holding its last trigger — reference
+        extensions.rs:383-421) miss the fresh-start seed chain, but they
+        reach a STEADY state: render 2 is live-baked and RECORDED, and
+        renders 3+ serve the recording (zero bakes), bit-identically."""
+        import numpy as np
+
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.utils.fixtures import _drum
+        from termdaw_tpu.fileio.midi import write_midi
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        d = tmp_path / "lerp"
+        d.mkdir()
+        _drum(d / "hit.wav", 8000, 0.05, 300.0, 30.0)
+        write_midi(d / "hits.mid",
+                   [(0.2, 0.1, 36, 100), (1.1, 0.1, 36, 90),
+                    (2.3, 0.1, 36, 80)], bpm=120)
+        (d / "project.lua").write_text(f"""
+set_length(4.0);
+set_render_samplerate(8000);
+set_render_bitdepth(16);
+set_output_file("{d}/o.wav");
+load_sample("hit", "{d}/hit.wav", "");
+load_midi_floww("hits", "{d}/hits.mid");
+add_sample_lerp("lerp", 1.0, 0.0, "hit", "hits", -1, 40);
+add_normalize("sum", 1.0, 0.0);
+connect("lerp", "sum");
+set_output("sum");
+""")
+        (d / "project.toml").write_text(
+            '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+            "project_samplerate = 8000\n"
+        )
+        st = State(Config.read(d / "project.toml"), str(d))
+        st.refresh()
+        assert st.loaded
+        self._render_np(st)             # render 1: seed chain serves
+        st.compiled.reset_normalize_vertices()
+        r2 = self._render_np(st)        # render 2: live-baked + recorded
+        assert st.compiled._recorded, "render 2 must have been recorded"
+        calls = self._count_bakes(st.compiled)
+        st.compiled.reset_normalize_vertices()
+        r3 = self._render_np(st)        # render 3: served from recording
+        assert calls["n"] == 0, "steady-state render must not re-bake"
+        assert np.array_equal(r2, r3)
