@@ -197,11 +197,23 @@ def _slim_extra(extra: dict) -> dict:
 
 def _shrink_to_budget(result: dict) -> str:
     """Serialize, dropping progressively less-essential extras until the
-    line fits MAX_LINE_CHARS (belt-and-suspenders; the slim set fits)."""
+    line fits MAX_LINE_CHARS (belt-and-suspenders; the slim set fits).
+    Error values shrink too — an all-configs-failed outage run carries
+    7x ~300-char messages, which alone would blow the budget and
+    reproduce the r4 'parsed: null' failure on the one run where the
+    record matters most."""
+    def _trunc_errors(e: dict, n: int) -> list:
+        for k in e:
+            if k.endswith("_error") and isinstance(e[k], str):
+                e[k] = e[k][:n]
+        return []
+
     drop_order = [
         lambda e: [k for k in e if k.endswith("_util")],
         lambda e: [k for k in e if k.endswith("_e2e_xrt")],
         lambda e: ["probe_attempts"] if "probe_attempts" in e else [],
+        lambda e: _trunc_errors(e, 120),
+        lambda e: _trunc_errors(e, 40),
     ]
     line = json.dumps(result)
     for pick in drop_order:
@@ -780,10 +792,10 @@ def run_late_config(name: str, status_path: Path, extra: dict,
     t0 = time.monotonic()
     while proc.poll() is None:
         if time.monotonic() - t0 > timeout_s:
-            try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except OSError:
-                proc.kill()
+            # plain kill: without start_new_session the grandchild is
+            # not a process-group leader, so killpg(pid) can never
+            # succeed here — this IS the kill path, not a fallback
+            proc.kill()
             try:
                 proc.wait(timeout=30)
             except subprocess.TimeoutExpired:  # pragma: no cover

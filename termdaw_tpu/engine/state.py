@@ -571,7 +571,8 @@ class State:
         self.fb.set_time(0)
         left = self.cs
         mesh, n_dev, step = self._mesh_plan()
-        cg.seed_caps(self.fb, self.cs, step)
+        # sharded renders live-bake; storing a chain would be waste
+        cg.seed_caps(self.fb, self.cs, step, prebake=(n_dev == 1))
         while left > 0:
             nb = self._pick_nb(left, step, n_dev)
             self._render_window_auto(cg, nb, mesh, n_dev, is_scan=True)
@@ -660,8 +661,10 @@ class State:
         left = self.cs
         mesh, n_dev, step = self._mesh_plan()
         # pin bake-table caps from the full known schedule so every window
-        # below produces the same table layout (no per-window jit variants)
-        cg.seed_caps(self.fb, self.cs, step)
+        # below produces the same table layout (no per-window jit variants);
+        # the chain-storing pass only pays off single-device (sharded
+        # windows live-bake)
+        cg.seed_caps(self.fb, self.cs, step, prebake=(n_dev == 1))
         while left > 0:
             nb = self._pick_nb(left, step, n_dev)
             win = self._render_window_auto(cg, nb, mesh, n_dev)

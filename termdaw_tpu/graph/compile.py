@@ -70,10 +70,32 @@ def _pack_bakes(bakes: dict[str, dict[str, np.ndarray]]):
     return ints_buf, floats_buf, tuple(layout)
 
 
+# SINGLE source of truth for which vertex kinds carry host-side bake
+# state and what their carry class is. _fresh_carry, the pristine-check
+# instances, and (via isinstance) _copy_carry all derive from it — a new
+# carry kind added here is automatically covered everywhere, and one
+# added elsewhere fails CLOSED (no chain serve, deepcopy on the copy
+# path) instead of silently serving stale or aliased prebaked state.
+_CARRY_CLASSES: dict[str, type] = {
+    G.SAMPLEMULTI: B.MultiCarry,
+    G.SAMPLELERP: B.LerpCarry,
+    G.DEBUGSINE: B.SineCarry,
+    G.SYNTH: B.NotesCarry,
+    G.SAMPSYN: B.NotesCarry,
+    G.ADSR: B.AdsrCarry,
+}
+
+# reference instances for the "is this carry still pristine" check (all
+# carry classes are dataclasses with structural equality); compared
+# against, never handed out
+_FRESH_CARRIES = {k: cls() for k, cls in _CARRY_CLASSES.items()}
+
+
 def _copy_carry(c):
     """Serve-time copy of a prebaked carry: set_time mutates NoteInst
     objects (and voice lists) in place, so the stored chain must never
-    alias objects the live engine can touch."""
+    alias objects the live engine can touch. Unknown carry types are
+    deep-copied (fail closed), never returned aliased."""
     if isinstance(c, B.MultiCarry):
         return B.MultiCarry(list(c.voices))
     if isinstance(c, B.SineCarry):
@@ -82,20 +104,9 @@ def _copy_carry(c):
         return B.NotesCarry([replace(n) for n in c.notes])
     if isinstance(c, (B.LerpCarry, B.AdsrCarry)):
         return replace(c)
-    return c
+    import copy
 
-
-# reference instances for the "is this carry still pristine" check (all
-# carry classes are dataclasses with structural equality); compared
-# against, never handed out
-_FRESH_CARRIES = {
-    G.SAMPLEMULTI: B.MultiCarry(),
-    G.SAMPLELERP: B.LerpCarry(),
-    G.DEBUGSINE: B.SineCarry(),
-    G.SYNTH: B.NotesCarry(),
-    G.SAMPSYN: B.NotesCarry(),
-    G.ADSR: B.AdsrCarry(),
-}
+    return copy.deepcopy(c)
 
 
 def _unpack_bakes(ints_buf, floats_buf, layout):
@@ -536,17 +547,8 @@ class CompiledGraph:
 
     @staticmethod
     def _fresh_carry(kind: str):
-        if kind == G.SAMPLEMULTI:
-            return B.MultiCarry()
-        if kind == G.SAMPLELERP:
-            return B.LerpCarry()
-        if kind == G.DEBUGSINE:
-            return B.SineCarry()
-        if kind in (G.SYNTH, G.SAMPSYN):
-            return B.NotesCarry()
-        if kind == G.ADSR:
-            return B.AdsrCarry()
-        return None
+        cls = _CARRY_CLASSES.get(kind)
+        return cls() if cls is not None else None
 
     def _record_caps(self, key: str, name_key: tuple, kind: str, tbl) -> None:
         caps = self.bake_caps.setdefault(key, {})
@@ -557,7 +559,7 @@ class CompiledGraph:
 
     def seed_caps(
         self, fb: FlowwBank, total_blocks: int, step: int,
-        fused: bool | None = None,
+        fused: bool | None = None, prebake: bool | None = None,
     ) -> None:
         """Pre-bake the full known event schedule over the render window
         grid and pin every bake-table cap at the observed maxima, so the
@@ -566,7 +568,10 @@ class CompiledGraph:
         (VERDICT r2 item 2). Cheap (host numpy, proportional to event
         count); idempotent; leaves graph/floww state untouched. Call
         whenever the schedule may have grown (render start, stream
-        append)."""
+        append). `prebake=False` skips the chain-storing second pass —
+        pass it when rendering will take the SHARDED path, which always
+        live-bakes (the stored chain would be pure waste: a second full
+        host bake plus device uploads that can never be served)."""
         # pin the frame->seconds table to the full song length too: its
         # power-of-2-rounded shape rides the jit trace signature, so letting
         # it grow window-by-window (2^19 -> 2^20 -> 2^21 over a 40 s render)
@@ -580,10 +585,14 @@ class CompiledGraph:
         if total_blocks <= 0 or not self.carries:
             return
         fused = self.use_pallas if fused is None else fused
+        do_prebake = self._prebake_on and prebake is not False
         # fb.uid, not id(fb): the allocator can reuse a collected bank's
         # address, and a false memo hit here silently skips cap seeding
-        # (bringing back the per-window program re-specialization)
-        sig = (fb.uid, fb.version, total_blocks, step, fused)
+        # (bringing back the per-window program re-specialization).
+        # do_prebake rides the sig: a schedule first seeded for the
+        # sharded path (no chain) must still build its chain when a
+        # single-device render later asks for one.
+        sig = (fb.uid, fb.version, total_blocks, step, fused, do_prebake)
         if getattr(self, "_seeded_sigs", None) is None:
             self._seeded_sigs = set()
         if sig in self._seeded_sigs:
@@ -612,7 +621,7 @@ class CompiledGraph:
             # schedule instead of re-baking: the per-window host bake
             # was ~80% of a 1024-track render's wall clock, pure
             # recomputation of this very walk.
-            if self._prebake_on:
+            if do_prebake:
                 fb.set_time(0)
                 carries = {
                     vi: self._fresh_carry(self.statics[vi].kind)
@@ -620,8 +629,14 @@ class CompiledGraph:
                 }
                 index: dict[tuple, int] = {}
                 wins: list[tuple] = []
+                # the byte budget is SHARED with recorded chains: release
+                # the old seed chain's share before building its successor
+                if self._prebaked is not None:
+                    self._prebake_used -= self._prebaked.get("bytes", 0)
+                    self._prebaked = None
                 t, left, used = 0, total_blocks, 0
-                while left > 0 and used <= self._prebake_budget:
+                while left > 0 and self._prebake_used + used \
+                        <= self._prebake_budget:
                     nb = min(left, step)
                     bakes, nc = self._bake_all(
                         fb, t, nb, fused=fused, carries=carries
@@ -647,9 +662,11 @@ class CompiledGraph:
                     fb.advance_blocks(nb)
                     t += nb * self.bl
                     left -= nb
+                self._prebake_used += used
                 self._prebaked = {
                     "bank": (fb.uid, fb.version), "fused": fused,
                     "index": index, "wins": wins, "expect": None,
+                    "bytes": used,
                 }
         finally:
             # an interrupt mid-prebake must not leave the bank's cursor
@@ -663,10 +680,11 @@ class CompiledGraph:
         chain's window 0 can then be served (the chain was seeded from
         fresh carries). A render that ends with surviving voices (or an
         Adsr clock mid-cell) honestly fails this and live-bakes, exactly
-        like the reference's stateful consecutive renders."""
+        like the reference's stateful consecutive renders. A carried
+        kind missing from the registry fails CLOSED (never serves)."""
         for vi, c in self.carries.items():
             f = _FRESH_CARRIES.get(self.statics[vi].kind)
-            if f is not None and c != f:
+            if f is None or c != f:
                 return False
         return True
 
@@ -733,6 +751,13 @@ class CompiledGraph:
         if (rec is None or rec["bank"] != bank
                 or rec["next"] != (t0, fb.frame)):
             self._rec_finish()
+            # a version bump never reverts: recorded chains from older
+            # bank versions can never serve again — drop them so they
+            # stop holding device memory and budget
+            stale = [r for r in self._recorded if r["bank"] != bank]
+            for r in stale:
+                self._recorded.remove(r)
+                self._prebake_used -= r.get("bytes", 0)
             rec = self._rec_active = {
                 "bank": bank, "fused": self.use_pallas,
                 "start": {

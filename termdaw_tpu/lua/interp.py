@@ -733,6 +733,12 @@ class LuaRuntime:
             block = parse(source)
         except LuaSyntaxError as e:
             raise LuaError(str(e)) from None
+        # the free-name memo is only consulted at closure CREATION; a
+        # closure surviving this execution (or a suspended coroutine
+        # resumed later) simply re-memoizes on demand. Clearing per
+        # execute keeps a refresh-every-few-seconds session from
+        # pinning every past script's ASTs forever.
+        self._names_memo.clear()
         scope = Scope()
         scope.varargs = ()
         try:

@@ -27,7 +27,9 @@ def sharded_render(state, nb_total: int, mesh: Mesh | None = None):
     mesh = mesh if mesh is not None else make_mesh()
     cg = state.compiled
     state.fb.set_time(cg.get_time())
-    cg.seed_caps(state.fb, max(state.cs, nb_total), nb_total)
+    # sharded windows always live-bake: skip the chain-storing pass
+    cg.seed_caps(state.fb, max(state.cs, nb_total), nb_total,
+                 prebake=False)
     audio = cg.render_window_sharded(state.fb, nb_total, mesh)
     state.fb.advance_blocks(nb_total)
     return audio

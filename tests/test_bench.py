@@ -193,6 +193,18 @@ def test_slim_extra_and_budget():
                               "vs_baseline": 0.0, "extra": _slim_extra(big)})
     assert len(line) <= MAX_LINE_CHARS
     json.loads(line)
+    # error-heavy outage run: 7 configs x ~300-char messages must also
+    # fit — the shrinker truncates error values rather than ever
+    # emitting an unparseable-length line (the r4 failure mode)
+    errs = {f"c{i}_error": "x" * 300 for i in range(1, 8)}
+    errs.update({f"c{i}_chip_xrt": 0.0 for i in range(1, 8)})
+    errs["probe_attempts"] = ["y" * 280] * 12
+    line = _shrink_to_budget({"metric": "m", "value": 0.0, "unit": "u",
+                              "vs_baseline": 0.0, "error": "z" * 300,
+                              "extra": _slim_extra(errs)})
+    assert len(line) <= MAX_LINE_CHARS
+    out = json.loads(line)
+    assert any(k.endswith("_error") for k in out["extra"])
 
 
 def test_probe_real_cpu_backend():
