@@ -343,6 +343,27 @@ def clock_fold(start_val, n: int, delta) -> np.ndarray:
     return np.cumsum(a, dtype=np.float32)
 
 
+def batched_clock_fold(k0: np.ndarray, v0: np.ndarray, k_hi: np.ndarray,
+                       nb: int, delta) -> np.ndarray:
+    """Row r of the result holds clock_fold(v0[r], k_hi[r]-k0[r]+1, delta)
+    on columns [k0[r], k_hi[r]], zeros elsewhere — every row in ONE 2-D
+    f32 cumsum. np.add.accumulate along an axis is sequential per lane
+    (pinned by tests/test_bake_caps.py::TestClockFold), and the leading
+    zeros are exact (f32(0+0)=0, f32(0+v0)=v0), so each row is
+    elementwise-identical to its per-note clock_fold. Replaces the
+    per-note numpy-call loop that dominated synth-family bake time."""
+    rows = len(k0)
+    cols = np.arange(nb)
+    m = np.zeros((rows, nb), np.float32)
+    inseg = (cols[None, :] > k0[:, None]) & (cols[None, :] <= k_hi[:, None])
+    m[inseg] = np.float32(delta)
+    m[np.arange(rows), k0] = v0
+    c = np.cumsum(m, axis=1, dtype=np.float32)
+    keep = (cols[None, :] >= k0[:, None]) & (cols[None, :] <= k_hi[:, None])
+    c[~keep] = 0.0
+    return c
+
+
 @dataclass
 class NoteInst:
     note: float
@@ -458,24 +479,45 @@ def bake_notes(
                 ads_anchor.append(anch)
                 rel_anchor.append(None)
     # per-(block, instance) clock tables: the kernel adds f32(i/sr) per
-    # in-block frame (reference extensions.rs:501-506)
+    # in-block frame (reference extensions.rs:501-506). All notes'
+    # folds run in ONE batched 2-D cumsum per table (the per-note
+    # clock_fold loop was the dominant synth-family bake cost).
     n = len(notes)
     env_ads0 = np.zeros((nb, max(n, 1)), np.float32)
     env_rel0 = np.zeros((nb, max(n, 1)), np.float32)
-    for j, inst in enumerate(notes):
-        if ads_anchor[j] is not None:
-            ak, av = ads_anchor[j]
-            k_hi = nb - 1 if rel_anchor[j] is None else min(
-                rel_anchor[j][0], nb - 1
-            )
-            if k_hi >= ak:
-                env_ads0[ak:k_hi + 1, j] = clock_fold(
-                    av, k_hi - ak + 1, delta
-                )
-        if rel_anchor[j] is not None:
-            rk, rv = rel_anchor[j]
-            if rk <= nb - 1:
-                env_rel0[rk:nb, j] = clock_fold(rv, nb - rk, delta)
+    ads_rows = []
+    for j in range(n):
+        if ads_anchor[j] is None:
+            continue
+        ak, av = ads_anchor[j]
+        k_hi = nb - 1 if rel_anchor[j] is None else min(
+            rel_anchor[j][0], nb - 1
+        )
+        if k_hi >= ak:
+            ads_rows.append((j, ak, av, k_hi))
+    if ads_rows:
+        js = np.asarray([r[0] for r in ads_rows])
+        folded = batched_clock_fold(
+            np.asarray([r[1] for r in ads_rows]),
+            np.asarray([r[2] for r in ads_rows], np.float32),
+            np.asarray([r[3] for r in ads_rows]),
+            nb, delta,
+        )
+        env_ads0[:, js] = folded.T
+    rel_rows = [
+        (j, rel_anchor[j][0], rel_anchor[j][1])
+        for j in range(n)
+        if rel_anchor[j] is not None and rel_anchor[j][0] <= nb - 1
+    ]
+    if rel_rows:
+        js = np.asarray([r[0] for r in rel_rows])
+        folded = batched_clock_fold(
+            np.asarray([r[1] for r in rel_rows]),
+            np.asarray([r[2] for r in rel_rows], np.float32),
+            np.full(len(rel_rows), nb - 1),
+            nb, delta,
+        )
+        env_rel0[:, js] = folded.T
     # dead instances keep their tables rows; spans trim them per block
     starts = np.asarray([x.on_f for x in notes], np.int64) \
         if notes else np.zeros(0, np.int64)

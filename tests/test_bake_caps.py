@@ -69,6 +69,25 @@ class TestClockFold:
                     t = np.float32(t + delta)
 
 
+    def test_batched_fold_matches_per_row_clock_fold(self):
+        """batched_clock_fold (one 2-D f32 cumsum for every note) must be
+        elementwise-identical to per-note clock_fold on its segment and
+        exactly zero outside it — np.add.accumulate is sequential per
+        lane, and the leading zeros are exact (f32(0+v0) == v0)."""
+        rng = np.random.default_rng(3)
+        nb = 375
+        delta = B.f32_div(1024, 48000)
+        k0 = rng.integers(0, nb - 1, 200)
+        hi = np.minimum(nb - 1, k0 + rng.integers(0, nb, 200))
+        v0 = rng.uniform(-2, 2, 200).astype(np.float32)
+        got = B.batched_clock_fold(k0, v0, hi, nb, delta)
+        for r in range(200):
+            want = B.clock_fold(v0[r], hi[r] - k0[r] + 1, delta)
+            assert np.array_equal(got[r, k0[r]:hi[r] + 1], want), r
+            assert not got[r, :k0[r]].any(), r
+            assert not got[r, hi[r] + 1:].any(), r
+
+
 class TestCapped:
     def test_capped_floor_and_growth(self):
         assert B._capped(3, None) == 4
