@@ -595,3 +595,57 @@ set_output("sum");
         r3 = self._render_np(st)        # render 3: served from recording
         assert calls["n"] == 0, "steady-state render must not re-bake"
         assert np.array_equal(r2, r3)
+
+    def test_feed_purges_stale_recorded_chains(self, tmp_path, monkeypatch):
+        """A content-version bump can never revert, so recorded chains
+        from older bank versions are purged (releasing their byte-budget
+        share) as soon as a new recording starts — they must not wait
+        for LRU eviction while holding device memory."""
+        import numpy as np
+
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.fileio.midi import write_midi
+        from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+        from termdaw_tpu.utils.fixtures import _drum
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        d = tmp_path / "purge"
+        d.mkdir()
+        _drum(d / "hit.wav", 8000, 0.05, 300.0, 30.0)
+        write_midi(d / "hits.mid", [(0.2, 0.1, 36, 100)], bpm=120)
+        (d / "project.lua").write_text(f"""
+set_length(4.0);
+set_render_samplerate(8000);
+set_render_bitdepth(16);
+set_output_file("{d}/o.wav");
+load_sample("hit", "{d}/hit.wav", "");
+load_midi_floww("hits", "{d}/hits.mid");
+declare_stream("live");
+add_sample_lerp("lerp", 1.0, 0.0, "hit", "hits", -1, 40);
+add_sample_multi("m", 1.0, 0.0, "hit", "live", -1);
+add_normalize("sum", 1.0, 0.0);
+connect("lerp", "sum");
+connect("m", "sum");
+set_output("sum");
+""")
+        (d / "project.toml").write_text(
+            '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+            "project_samplerate = 8000\n"
+        )
+        st = State(Config.read(d / "project.toml"), str(d))
+        st.refresh()
+        assert st.loaded
+        cg = st.compiled
+        self._render_np(st)   # seed chain serves (fresh)
+        self._render_np(st)   # stateful lerp -> live + RECORDED (v1)
+        assert cg._recorded and cg._prebake_used > 0
+        v1_banks = {r["bank"] for r in cg._recorded}
+        # feed -> version v2; next stateful render records under v2 and
+        # must purge the v1 chain
+        ev = np.array([[0.0, 1.5, 36.0, 0.7]], np.float32)
+        st.fb.append_streams(PacketDecoder().feed(encode_events("live", ev)))
+        self._render_np(st)
+        banks_now = {r["bank"] for r in cg._recorded}
+        assert banks_now, "the v2 render must have recorded"
+        assert not (v1_banks & banks_now), "stale-bank chains must purge"
