@@ -114,3 +114,62 @@ class TestGoldenStats:
         assert 0.05 <= rms <= 0.35, rms
         assert 0.4 <= ratio <= 2.0, ratio
         assert not np.any(np.isnan(audio))
+
+
+class TestChainChurn:
+    def test_feed_render_cycles_keep_chain_memory_bounded(
+            self, tmp_path, monkeypatch):
+        """A generative session alternating stream feeds and renders
+        churns the prebaked/recorded chains (every feed bumps the
+        content version, every stateful render records): the byte
+        budget accounting and the stale-bank purge must keep chain
+        memory bounded across 30 cycles, with every render finite."""
+        from termdaw_tpu.fileio.midi import write_midi
+        from termdaw_tpu.utils.fixtures import _drum
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        d = tmp_path / "churn"
+        d.mkdir()
+        _drum(d / "hit.wav", 8000, 0.05, 300.0, 30.0)
+        write_midi(d / "hits.mid", [(0.2, 0.1, 36, 100)], bpm=120)
+        (d / "project.lua").write_text(f"""
+set_length(2.0);
+set_render_samplerate(8000);
+set_render_bitdepth(16);
+set_output_file("{d}/o.wav");
+load_sample("hit", "{d}/hit.wav", "");
+load_midi_floww("hits", "{d}/hits.mid");
+declare_stream("live");
+add_sample_lerp("lerp", 1.0, 0.0, "hit", "hits", -1, 40);
+add_sample_multi("m", 1.0, 0.0, "hit", "live", -1);
+add_normalize("sum", 1.0, 0.0);
+connect("lerp", "sum");
+connect("m", "sum");
+set_output("sum");
+""")
+        (d / "project.toml").write_text(
+            '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+            "project_samplerate = 8000\n"
+        )
+        st = State(Config.read(d / "project.toml"), str(d))
+        st.refresh()
+        assert st.loaded
+        cg = st.compiled
+        rng = np.random.default_rng(17)
+        for cycle in range(30):
+            ev = np.array(
+                [[0.0, float(rng.uniform(0.1, 1.8)), 36.0, 0.8]],
+                np.float32,
+            )
+            st.fb.append_streams(PacketDecoder().feed(
+                encode_events("live", ev)
+            ))
+            st.fb.set_time(st.compiled.get_time())
+            chunks = st.render_device(issue_fetch=False)
+            assert all(np.all(np.isfinite(np.asarray(c))) for c in chunks)
+            st.compiled.set_time(0)
+            assert len(cg._recorded) <= cg._REC_MAX
+            assert cg._prebake_used <= cg._prebake_budget
+        # the seed-chain memo must not have grown one entry per feed's
+        # worth of stored windows beyond the budget either
+        assert cg._prebake_used >= 0
