@@ -509,6 +509,11 @@ class State:
             raise RefreshAbort
 
         # ---- compile (the TPU-native step) ---------------------------------
+        # the replaced graph may stay pinned by the bounded program cache
+        # (compiled closures hold it); its prebaked/recorded chains are
+        # pure cache and must not keep holding device memory there
+        if self.compiled is not None:
+            self.compiled.release_chains()
         self.compiled = CompiledGraph(
             self.g, self.sb, wavetables, self.host,
             self.config.settings.buffer_length, psr,

@@ -805,6 +805,18 @@ class CompiledGraph:
         self._reset_chain_expects()
         self._rec_finish()
 
+    def release_chains(self) -> None:
+        """Drop every prebaked/recorded chain (device buffers included).
+        Called when this graph is replaced at refresh: the program cache
+        may keep pinning the instance through compiled closures, and the
+        chains are pure cache — they must not hold HBM from there."""
+        self._prebaked = None
+        self._recorded.clear()
+        self._rec_active = None
+        self._prebake_used = 0
+        if getattr(self, "_seeded_sigs", None) is not None:
+            self._seeded_sigs.clear()  # a future seed must rebuild
+
     # -- normalization controls (reference graph.rs:195-220) ---------------
     def reset_normalize_vertices(self) -> None:
         for vi in self.order:
