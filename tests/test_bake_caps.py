@@ -649,3 +649,17 @@ set_output("sum");
         banks_now = {r["bank"] for r in cg._recorded}
         assert banks_now, "the v2 render must have recorded"
         assert not (v1_banks & banks_now), "stale-bank chains must purge"
+
+    def test_refresh_releases_replaced_graphs_chains(self, tmp_path,
+                                                     monkeypatch):
+        """The program cache can pin a replaced CompiledGraph; its chains
+        are pure cache and must be dropped at refresh so they never hold
+        device memory from the pin."""
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        st = _make_state(tmp_path, seed=21)
+        self._render_np(st)  # builds the seed chain
+        old = st.compiled
+        assert old._prebaked is not None
+        st.refresh()
+        assert old._prebaked is None
+        assert not old._recorded and old._prebake_used == 0
