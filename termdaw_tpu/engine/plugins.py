@@ -32,6 +32,9 @@ class PluginHost:
     def __init__(self) -> None:
         self.plugins: list[Plugin | None] = []
         self.names: dict[str, int] = {}
+        # bumped on every mutation that can change param_values() output;
+        # CompiledGraph._pack_fx memoizes its packed vector against it
+        self.version = 0
 
     def add_plugin(self, uri: str, name: str) -> None:
         if name in self.names:
@@ -47,11 +50,13 @@ class PluginHost:
             )
         self.plugins.append(Plugin(name=name, uri=uri, effect=effect))
         self.names[name] = len(self.plugins) - 1
+        self.version += 1
 
     def remove_plugin(self, name: str) -> None:
         idx = self.names.pop(name, None)
         if idx is not None:
             self.plugins[idx] = None
+            self.version += 1
 
     def get_index(self, name: str) -> int | None:
         return self.names.get(name)
@@ -76,14 +81,16 @@ class PluginHost:
             )
             return
         p.params[key] = float(value)
+        self.version += 1
 
     def reset_value(self, plugin: str, param: str) -> None:
         idx = self.names.get(plugin)
         if idx is None:
             return
         key = resolve_param(param)
-        if key is not None:
-            self.plugins[idx].params.pop(key, None)
+        if key is not None and \
+                self.plugins[idx].params.pop(key, None) is not None:
+            self.version += 1
 
     def param_values(self, index: int) -> dict[str, float]:
         p = self.get(index)

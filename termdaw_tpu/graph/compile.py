@@ -537,6 +537,10 @@ class CompiledGraph:
         self._rec_active: dict | None = None
         self._prebake_used = 0
 
+        # packed effect-param vector, keyed by PluginHost.version (the
+        # pack walked the full vertex order every window; on a 1024-track
+        # graph with zero fx vertices that was ~0.4 ms/render of nothing)
+        self._fx_cache: tuple | None = None
         # per-fused-group pooled event arrays, keyed by FlowwBank version
         self._pool_cache: dict[int, tuple] = {}
         # per-(consumer, member) processed event arrays, keyed by the
@@ -987,9 +991,15 @@ class CompiledGraph:
     def _pack_fx(self) -> tuple[np.ndarray, tuple]:
         """Traced effect parameters as one f32 vector + static layout.
         Static params (EffectDef.static_params) are excluded — they were
-        bound into _VertexStatic.fx_static at build."""
+        bound into _VertexStatic.fx_static at build. Memoized against
+        PluginHost.version: the layout is static per CompiledGraph and the
+        values only change through the host's mutators."""
         from ..ops.fx import EFFECTS
 
+        ver = getattr(self.plugin_host, "version", None)
+        if (self._fx_cache is not None and ver is not None
+                and self._fx_cache[0] == ver):
+            return self._fx_cache[1], self._fx_cache[2]
         vals: list[float] = []
         layout: list[tuple] = []
         for vi in self.order:
@@ -1005,7 +1015,9 @@ class CompiledGraph:
                 layout.append((str(vi), name, len(vals)))
                 vals.append(float(pv[name]))
         vec = np.asarray(vals, np.float32) if vals else np.zeros(1, np.float32)
-        return vec, tuple(layout)
+        lay = tuple(layout)
+        self._fx_cache = (ver, vec, lay)
+        return vec, lay
 
     # -- sharded rendering (sequence parallelism over the timeline) ---------
     def render_window_sharded(

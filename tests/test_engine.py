@@ -234,6 +234,35 @@ class TestSampSynAndFx:
         assert not np.any(np.isnan(audio))
         assert np.max(np.abs(audio)) > 0.05
 
+    def test_pack_fx_memoized_until_param_change(self, tmp_path):
+        """_pack_fx is served from its PluginHost.version memo between
+        windows and re-packs (new values, same layout) after set_value."""
+        write_midi(tmp_path / "m.mid", [(0.02, 0.2, 60, 100)], bpm=120)
+        st = make_project(
+            tmp_path,
+            f"""
+            set_length(0.25);
+            load_midi_floww("m", "{tmp_path}/m.mid");
+            load_lv2("comp", "http://calf.sourceforge.net/plugins/Compressor");
+            add_debug_sine("s", 0.5, 0.0, "m");
+            add_lv2fx("fx", 1.0, 0.0, 1.0, "comp");
+            connect("s", "fx");
+            set_output("fx");
+            """,
+        )
+        st.refresh()
+        assert st.loaded
+        cg = st.compiled
+        vec1, lay1 = cg._pack_fx()
+        vec2, lay2 = cg._pack_fx()
+        assert vec2 is vec1 and lay2 is lay1  # memo hit: same objects
+        cg.plugin_host.set_value("comp", "Ratio", 9.5)
+        vec3, lay3 = cg._pack_fx()
+        assert vec3 is not vec1
+        assert lay3 == lay1  # layout is static per CompiledGraph
+        pos = {name: off for _vi, name, off in lay3}
+        assert float(vec3[pos["ratio"]]) == 9.5
+
     @pytest.mark.slow
     def test_eq3_crossover_moves_with_parameter(self, tmp_path):
         """`parameter("eq", "low freq", x)` must move the eq3 crossover

@@ -263,6 +263,29 @@ class TestPluginHost:
         h.remove_plugin("c")
         assert h.get_index("c") is None
 
+    def test_version_tracks_param_mutations(self, capsys):
+        """PluginHost.version must bump on every mutation that can change
+        param_values() (CompiledGraph._pack_fx memoizes against it) and
+        stay put on no-op failures."""
+        h = PluginHost()
+        v0 = h.version
+        h.add_plugin("native:compressor", "c")
+        assert h.version > v0
+        v1 = h.version
+        h.set_value("c", "Ratio", 8.0)
+        assert h.version > v1
+        v2 = h.version
+        h.set_value("c", "NoSuchParam", 1.0)   # rejected: no bump
+        h.set_value("nope", "Ratio", 1.0)      # unknown plugin: no bump
+        h.reset_value("c", "Attack")           # nothing stored: no bump
+        assert h.version == v2
+        h.reset_value("c", "Ratio")            # stored override popped
+        assert h.version > v2
+        v3 = h.version
+        h.remove_plugin("c")
+        assert h.version > v3
+        capsys.readouterr()
+
 
 class TestEq3AndFlanger:
     @pytest.mark.slow
