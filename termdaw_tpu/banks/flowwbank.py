@@ -93,7 +93,14 @@ class FlowwBank:
         self.bl = bl
         self.frame = 0
         self.flowws: list[np.ndarray] = []
-        self.start_indices: list[int] = []
+        self._si: list[int] = []
+        # blocks advanced past but not yet reflected in _si (see
+        # advance_blocks): `frame` is always current; index reconciliation
+        # is deferred until something actually reads or mutates event
+        # state. A fully chain-served render (graph/compile._prebake_take)
+        # never bakes, so its per-window advances collapse into ONE
+        # vectorized pass at the closing set_time.
+        self._lag = 0
         self.names: dict[str, int] = {}
         self.stream_list: list[int] = []
         # per-floww (events_array_identity, frames, is_sorted) tuples; see
@@ -210,15 +217,15 @@ class FlowwBank:
         # np.array(list) + fancy-index is C-speed; a fromiter generator
         # over 1024 flowws cost ~1 ms per call and dominated the pooled
         # path
-        return np.asarray(self.start_indices, np.int64)[si]
+        return np.asarray(self._si, np.int64)[si]
 
     def _pool_writeback(self, si: np.ndarray, old: np.ndarray,
                         new: np.ndarray) -> None:
         if np.array_equal(new, old):
             return
-        arr = np.asarray(self.start_indices, np.int64)
+        arr = np.asarray(self._si, np.int64)
         arr[si] = new
-        self.start_indices[:] = arr.tolist()
+        self._si[:] = arr.tolist()
 
     def _event_frames(self, i: int) -> np.ndarray:
         """Cached event_frames per floww — the uncached version dominated
@@ -244,17 +251,21 @@ class FlowwBank:
     # -- registration (reference floww.rs:23-64) ---------------------------
     def reset(self) -> None:
         self.frame = 0
+        self._lag = 0
         self.flowws.clear()
-        self.start_indices.clear()
+        self._si.clear()
         self.names.clear()
         self.stream_list.clear()
         self._frames_cache.clear()
         self.version += 1
 
     def declare_floww(self, name: str, events: np.ndarray) -> int:
+        # reconcile before the roster changes: deferred advances must be
+        # resolved against the flowws that were live when they happened
+        self._reconcile()
         events = np.asarray(events, dtype=np.float32).reshape(-1, 4)
         self.flowws.append(events)
-        self.start_indices.append(0)
+        self._si.append(0)
         self._frames_cache.append(None)
         self.version += 1
         index = len(self.flowws) - 1
@@ -279,6 +290,7 @@ class FlowwBank:
     def append_streams(self, packets: list[FlowwPacket]) -> list[str]:
         """Route EVENTS packets into named streams; return TEXT messages
         (reference floww.rs:55-57 `unpacket`)."""
+        self._reconcile()  # indices must be current before events change
         msgs: list[str] = []
         grouped: dict[int, list[np.ndarray]] = {}
         for pkt in packets:
@@ -305,11 +317,12 @@ class FlowwBank:
 
     def trim_streams(self) -> None:
         """Drop consumed prefixes of stream flowws (reference floww.rs:59-64)."""
+        self._reconcile()
         for index in self.stream_list:
-            s = self.start_indices[index]
+            s = self._si[index]
             if s > 0:
                 self.flowws[index] = self.flowws[index][s:]
-                self.start_indices[index] = 0
+                self._si[index] = 0
                 self._frames_cache[index] = None
                 self.version += 1
 
@@ -335,34 +348,63 @@ class FlowwBank:
                 self._pool_writeback(si, s0, new)
             idxs = unsorted_idx
         for i in idxs:
-            skip = self.start_indices[i] if do_skip else 0
+            skip = self._si[i] if do_skip else 0
             frames = self._event_frames(i)
             if self._frames_cache[i][2]:  # sorted: binary search
                 k = int(frames.searchsorted(t_frame, "left"))
                 if k < len(frames) and k >= skip:
-                    self.start_indices[i] = k
+                    self._si[i] = k
                 elif k < len(frames):
-                    self.start_indices[i] = skip
+                    self._si[i] = skip
                 continue
             hit = np.nonzero(frames[skip:] >= t_frame)[0]
             if hit.size:
-                self.start_indices[i] = skip + int(hit[0])
+                self._si[i] = skip + int(hit[0])
             # quirk preserved: if no event is at/after t_frame the start
             # index is left unchanged (reference floww.rs:70-81)
 
+    @property
+    def start_indices(self) -> list[int]:
+        """Per-floww cursor indices, reconciled with any deferred block
+        advances before they are observed (the raw list lags `frame` by
+        `_lag` blocks between reads — see advance_blocks)."""
+        self._reconcile()
+        return self._si
+
     def set_time(self, t: int) -> None:
+        # reconcile first: the rescan's "index unchanged when no event is
+        # at/after t" quirk makes its result depend on the CURRENT indices
+        self._reconcile()
         self._set_start_indices_to_frame(t, do_skip=False)
         self.frame = t
 
     def set_time_to_next_block(self) -> None:
-        self.frame += self.bl
-        self._set_start_indices_to_frame(self.frame, do_skip=True)
+        self.advance_blocks(1)
 
     def advance_blocks(self, n: int) -> None:
         """Advance the cursor by n blocks — the exact composition of n
-        `set_time_to_next_block` calls, vectorized per floww (the stepped
-        version was O(blocks x flowws x events) and dominated multi-track
-        render host time; equivalence is property-tested).
+        `set_time_to_next_block` calls. The frame moves eagerly; the
+        index update is DEFERRED until something reads or mutates event
+        state (`_reconcile`), so advances over a span nobody inspects —
+        every window of a chain-served render — cost one integer add,
+        and consecutive spans fold into one vectorized pass."""
+        if n <= 0:
+            return
+        self.frame += n * self.bl
+        self._lag += n
+
+    def _reconcile(self) -> None:
+        lag = self._lag
+        if lag:
+            self._lag = 0
+            self.frame -= lag * self.bl
+            self._advance_now(lag)
+
+    def _advance_now(self, n: int) -> None:
+        """Move start indices across n blocks from the current frame,
+        vectorized per floww (the stepped per-block version was
+        O(blocks x flowws x events) and dominated multi-track render host
+        time; equivalence with the stepped walk is property-tested).
 
         Composition of the reference's per-block skip (floww.rs:70-91):
         indices move monotonically to the first event at/after each block
@@ -370,8 +412,6 @@ class FlowwBank:
         boundary that still has one — boundaries beyond every event leave
         the index unchanged (quirk above).
         """
-        if n <= 0:
-            return
         t_final = self.frame + n * self.bl
         idxs = range(len(self.flowws))
         pool = (
@@ -400,25 +440,25 @@ class FlowwBank:
             idxs = unsorted_idx
         for i in idxs:
             frames = self._event_frames(i)
-            s0 = self.start_indices[i]
+            s0 = self._si[i]
             nev = len(frames)
             if s0 >= nev:
                 continue
             if self._frames_cache[i][2]:  # sorted: binary search
                 k = int(frames.searchsorted(t_final, "left"))
                 if k < nev:
-                    self.start_indices[i] = max(s0, k)
+                    self._si[i] = max(s0, k)
                     continue
                 kb = (int(frames[nev - 1]) - self.frame) // self.bl
                 if kb >= 1:
                     tk = self.frame + kb * self.bl
                     k2 = int(frames.searchsorted(tk, "left"))
-                    self.start_indices[i] = max(s0, k2)
+                    self._si[i] = max(s0, k2)
                 continue
             tail = frames[s0:]
             hit = np.nonzero(tail >= t_final)[0]
             if hit.size:
-                self.start_indices[i] = s0 + int(hit[0])
+                self._si[i] = s0 + int(hit[0])
                 continue
             # no event reaches the final boundary: land on the largest
             # boundary some event does reach
@@ -427,7 +467,7 @@ class FlowwBank:
                 tk = self.frame + k * self.bl
                 hit2 = np.nonzero(tail >= tk)[0]
                 if hit2.size:
-                    self.start_indices[i] = s0 + int(hit2[0])
+                    self._si[i] = s0 + int(hit2[0])
         self.frame = t_final
 
     # -- baking (block-pull semantics, event-wise) -------------------------
@@ -441,6 +481,7 @@ class FlowwBank:
         ignored); remaining same-frame events become stale. Start indices
         advance between blocks per floww.rs:88-91.
         """
+        self._reconcile()
         if index >= len(self.flowws):
             return DrumBake.empty()
         events = self.flowws[index]
@@ -454,7 +495,7 @@ class FlowwBank:
             # FIRST ON of each distinct frame (an ON sets qmin=f+1, making
             # later same-frame events stale; an OFF only advances qmin to
             # its own frame, so it never blocks a same-frame ON).
-            s = self.start_indices[index]
+            s = self._si[index]
             t1 = self.frame + n_blocks * self.bl
             lo = max(s, int(np.searchsorted(frames, self.frame, "left")))
             hi = int(np.searchsorted(frames, t1, "left"))
@@ -473,7 +514,7 @@ class FlowwBank:
         vels = events[:, 3] if len(events) else np.zeros((0,), np.float32)
         notes = events[:, 2] if len(events) else np.zeros((0,), np.float32)
         n_ev = len(frames)
-        s = self.start_indices[index]
+        s = self._si[index]
         out_f: list[int] = []
         out_n: list[float] = []
         out_v: list[float] = []
@@ -522,12 +563,13 @@ class FlowwBank:
         including stale events, which therefore block the remainder of the
         block (reference floww.rs:124-141).
         """
+        self._reconcile()
         if index >= len(self.flowws):
             return SimpleBake.empty()
         events = self.flowws[index]
         frames = self._event_frames(index)
         n_ev = len(frames)
-        s = self.start_indices[index]
+        s = self._si[index]
         if self._frames_sorted(index) and not (s < n_ev and frames[s] < self.frame):
             # vectorized equivalent for time-sorted flowws with no stale
             # leftovers at the cursor (the common case; a stale event

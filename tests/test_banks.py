@@ -125,13 +125,59 @@ class TestAdvanceBlocksComposition:
                 b.declare_floww("x", ev)
                 b.set_time(t_start)
             n = int(rng.integers(1, 40))
+            # oracle: the reference's literal per-block skip (floww.rs:88-91),
+            # NOT set_time_to_next_block (which now defers into the same
+            # vectorized advance under test)
             for _ in range(n):
-                fa.set_time_to_next_block()
+                fa.frame += bl
+                fa._set_start_indices_to_frame(fa.frame, do_skip=True)
             fb_.advance_blocks(n)
             assert fa.frame == fb_.frame
             assert fa.start_indices == fb_.start_indices, (
                 trial, n, times,
             )
+
+    def test_deferred_advance_reconciles_on_read(self, rng):
+        """advance_blocks defers index movement (frame moves eagerly);
+        any read of start_indices / bake / set_time / stream mutation
+        reconciles to exactly the eager result."""
+        from termdaw_tpu.banks.flowwbank import FlowwBank
+
+        sr, bl = 8000, 64
+        times = np.sort(rng.uniform(0.0, 1.0, 25).astype(np.float32))
+        ev = np.stack(
+            [np.zeros(25, np.float32), times,
+             np.full(25, 60, np.float32),
+             rng.uniform(0.1, 1.0, 25).astype(np.float32)], axis=1,
+        )
+        lazy = FlowwBank(sr, bl)
+        eager = FlowwBank(sr, bl)
+        for b in (lazy, eager):
+            b.declare_floww("x", ev)
+        lazy.advance_blocks(3)
+        lazy.advance_blocks(4)  # folds: lag now 7 blocks
+        assert lazy._lag == 7 and lazy._si == [0]  # raw state lags
+        assert lazy.frame == 7 * bl                # frame is eager
+        eager.frame += 7 * bl
+        eager._set_start_indices_to_frame(eager.frame, do_skip=True)
+        assert lazy.start_indices == eager.start_indices  # read reconciles
+        assert lazy._lag == 0
+        # bake reconciles too: a deferred-advance bank bakes identically
+        lazy2 = FlowwBank(sr, bl)
+        lazy2.declare_floww("x", ev)
+        lazy2.advance_blocks(7)
+        d1 = lazy2.bake_drum(0, 2)
+        d2 = eager.bake_drum(0, 2)
+        np.testing.assert_array_equal(d1.frames, d2.frames)
+        np.testing.assert_array_equal(d1.vels, d2.vels)
+        # set_time reconciles before its rescan (the no-event-after-t
+        # quirk depends on current indices)
+        lazy2.advance_blocks(200)  # past every event
+        lazy2.set_time(0)
+        eager.advance_blocks(200)
+        eager.set_time(0)
+        assert lazy2.start_indices == eager.start_indices
+        assert lazy2.frame == eager.frame == 0
 
 
 class TestPooledCursorMalformedEvents:
