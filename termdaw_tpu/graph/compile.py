@@ -92,9 +92,8 @@ _FRESH_CARRIES = {k: cls() for k, cls in _CARRY_CLASSES.items()}
 
 
 def _copy_carry(c):
-    """Serve-time copy of a prebaked carry: set_time mutates NoteInst
-    objects (and voice lists) in place, so the stored chain must never
-    alias objects the live engine can touch. Unknown carry types are
+    """Snapshot/serve copy of a carry: a stored chain must never alias
+    objects the live engine can mutate in place. Unknown carry types are
     deep-copied (fail closed), never returned aliased."""
     if isinstance(c, B.MultiCarry):
         return B.MultiCarry(list(c.voices))
@@ -107,6 +106,20 @@ def _copy_carry(c):
     import copy
 
     return copy.deepcopy(c)
+
+
+def _serve_carry(c):
+    """Serve-time copy-or-alias of a stored chain delta. The engine
+    mutates carries in place in exactly ONE spot — set_time's SampSyn
+    branch shifts NoteInst clocks (NotesCarry) — every other transition
+    REBINDS a new object (bake fns build fresh carries; set_time's other
+    branches replace). So only NotesCarry (and unknown types, fail
+    closed) must be copied on the way out; the immutable-in-practice
+    kinds are served aliased. At 1024 tracks the per-window MultiCarry
+    delta copies were ~0.6 ms/render of pure allocation."""
+    if isinstance(c, (B.MultiCarry, B.SineCarry, B.LerpCarry, B.AdsrCarry)):
+        return c
+    return _copy_carry(c)
 
 
 def _unpack_bakes(ints_buf, floats_buf, layout):
@@ -470,6 +483,24 @@ class CompiledGraph:
                 c = self._fresh_carry(st.kind)
                 if c is not None:
                     self.carries[vi] = c
+        # incremental freshness index: vi is in _unfresh iff carries[vi]
+        # differs from its kind's fresh value (unknown kinds: always in,
+        # fail closed). Maintained at every carry assignment site —
+        # _carries_fresh/_carries_equal were full O(carries) scans per
+        # render (~1 ms at 1024 tracks) re-deriving this from scratch.
+        self._unfresh: set[int] = set()
+        self._rebuild_unfresh()
+        # static per-kind vertex lists for set_time: only unfresh carries
+        # plus SampleLerp (always remapped) need visiting, and only
+        # BandPass vertices need the filter re-prime
+        self._lerp_vis = tuple(
+            vi for vi in self.order
+            if self.statics[vi].kind == G.SAMPLELERP
+        )
+        self._bandpass_vis = tuple(
+            vi for vi in self.order
+            if self.statics[vi].kind == G.BANDPASS
+        )
 
         # sticky per-vertex bake-table caps (VERDICT r2 item 2): table
         # layouts pad to these, so jit program layouts do not depend on
@@ -679,6 +710,32 @@ class CompiledGraph:
             fb.set_time(saved_frame)
         self._seeded_sigs.add(sig)
 
+    def _classify_carry(self, vi: int, c) -> None:
+        """Keep the _unfresh index exact at an assignment of carries[vi].
+        A kind missing from the registry classifies unfresh forever (the
+        fail-closed rule from _carries_fresh)."""
+        f = _FRESH_CARRIES.get(self.statics[vi].kind)
+        if f is None or c != f:
+            self._unfresh.add(vi)
+        else:
+            self._unfresh.discard(vi)
+
+    def _rebuild_unfresh(self) -> None:
+        self._unfresh.clear()
+        for vi, c in self.carries.items():
+            self._classify_carry(vi, c)
+
+    def _apply_carries(self, new_carries: dict) -> None:
+        """The one write path into self.carries outside set_time: binds
+        the new values and keeps the freshness index exact. The only
+        in-place carry mutation anywhere (set_time's SampSyn clock remap)
+        cannot flip freshness — fresh NotesCarry has no notes to mutate —
+        so assignment-site classification is sufficient."""
+        carries = self.carries
+        for vi, c in new_carries.items():
+            carries[vi] = c
+            self._classify_carry(vi, c)
+
     def _carries_fresh(self) -> bool:
         """True when every live carry equals a fresh one — the prebaked
         chain's window 0 can then be served (the chain was seeded from
@@ -686,17 +743,23 @@ class CompiledGraph:
         Adsr clock mid-cell) honestly fails this and live-bakes, exactly
         like the reference's stateful consecutive renders. A carried
         kind missing from the registry fails CLOSED (never serves)."""
-        for vi, c in self.carries.items():
-            f = _FRESH_CARRIES.get(self.statics[vi].kind)
-            if f is None or c != f:
-                return False
-        return True
+        return not self._unfresh
 
-    def _carries_equal(self, snapshot: dict) -> bool:
-        for vi, c in self.carries.items():
-            if c != snapshot.get(vi):
-                return False
-        return True
+    def _carries_equal(self, snapshot: dict,
+                       snap_unfresh: frozenset | None = None) -> bool:
+        """Live carries == snapshot. With the snapshot's own recorded
+        unfresh set, only unfresh entries need comparing: carries share
+        one key set per CompiledGraph, and an entry absent from BOTH
+        unfresh sets equals the same fresh value on each side; unequal
+        sets mean some entry is fresh on exactly one side."""
+        if snap_unfresh is None:  # defensive full scan (no recorded set)
+            for vi, c in self.carries.items():
+                if c != snapshot.get(vi):
+                    return False
+            return True
+        if self._unfresh != snap_unfresh:
+            return False
+        return all(self.carries[vi] == snapshot[vi] for vi in self._unfresh)
 
     def _prebake_take(self, fb: FlowwBank, t0: int, nb: int):
         """Serve one window from a prebaked/recorded chain when the
@@ -705,9 +768,10 @@ class CompiledGraph:
         either the previous window was served from the same chain (the
         live carries ARE its output), or this is the chain's window 0
         and the live carries equal its recorded start state (pristine
-        for the seed chain, a snapshot for recorded chains). Carries are
-        copied on the way out (set_time mutates carry objects in place;
-        stored chains must stay pristine)."""
+        for the seed chain, a snapshot for recorded chains). Served
+        deltas pass through _serve_carry: kinds the engine can mutate in
+        place are copied so stored chains stay pristine; rebind-only
+        kinds are aliased."""
         if not self._prebake_on:
             return None
         bank = (fb.uid, fb.version)
@@ -725,13 +789,15 @@ class CompiledGraph:
                     continue
                 start = ch.get("start")
                 ok = (self._carries_fresh() if start is None
-                      else self._carries_equal(start))
+                      else self._carries_equal(
+                          start, ch.get("start_unfresh")
+                      ))
                 if not ok:
                     continue
             ints_buf, floats_buf, layout, delta = ch["wins"][i]
             ch["expect"] = i + 1
             return ints_buf, floats_buf, layout, {
-                vi: _copy_carry(c) for vi, c in delta.items()
+                vi: _serve_carry(c) for vi, c in delta.items()
             }
         return None
 
@@ -767,6 +833,7 @@ class CompiledGraph:
                 "start": {
                     vi: _copy_carry(c) for vi, c in self.carries.items()
                 },
+                "start_unfresh": frozenset(self._unfresh),
                 "index": {}, "wins": [], "expect": None, "bytes": 0,
             }
         delta = {
@@ -853,26 +920,39 @@ class CompiledGraph:
         Synth notes, re-prime BandPass; SampleMulti/SampleLerp/Adsr/SampSyn
         voice clocks keep their elapsed time (absolute frames remapped)."""
         dt = t - self.t
-        for vi, carry in list(self.carries.items()):
+        # only unfresh carries can need work (every branch is a no-op on
+        # a fresh carry) — except SampleLerp, whose anchor remap applies
+        # even to a pristine carry (it then becomes unfresh, exactly as
+        # the full-scan loop behaved). At 1024 fresh tracks this loop
+        # visited every carry to do nothing (~0.4 ms/render).
+        for vi in self._unfresh.union(self._lerp_vis):
+            carry = self.carries[vi]
             kind = self.statics[vi].kind
             if kind == G.DEBUGSINE:
                 if carry.notes:
                     self.carries[vi] = B.SineCarry()
+                    self._unfresh.discard(vi)
             elif kind == G.SYNTH:
                 if carry.notes:
                     self.carries[vi] = B.NotesCarry()
+                    self._unfresh.discard(vi)
             elif kind == G.SAMPLEMULTI:
-                if carry.voices:  # empty needs no frame remap (hot at
-                    self.carries[vi] = B.MultiCarry(  # 1024 tracks)
+                if carry.voices:  # stays unfresh (still non-empty)
+                    self.carries[vi] = B.MultiCarry(
                         [(s + dt, v) for s, v in carry.voices]
                     )
             elif kind == G.SAMPLELERP:
-                self.carries[vi] = replace(
+                c = replace(
                     carry,
                     primary_start=carry.primary_start + dt,
                     ghost_start=carry.ghost_start + dt,
                 )
+                self.carries[vi] = c
+                self._classify_carry(vi, c)
             elif kind == G.SAMPSYN:
+                # in-place clock remap; freshness cannot flip (a fresh
+                # carry has no notes to mutate, a non-empty one stays
+                # non-empty)
                 for n in carry.notes:
                     n.on_f += dt
                     if n.off_f is not None:
@@ -883,9 +963,8 @@ class CompiledGraph:
                 pass  # cell clocks are time-relative values; they carry
                 # through seeks unchanged (the reference's set_time does
                 # not reset Adsr state, extensions.rs:196-204)
-        for vi in self.order:
-            if self.statics[vi].kind == G.BANDPASS:
-                self.num_state[f"{vi}.bp"] = BandPassState.init()
+        for vi in self._bandpass_vis:
+            self.num_state[f"{vi}.bp"] = BandPassState.init()
         self.t = t
         self.graph.t = t
         self._break_prebake_chain()
@@ -943,7 +1022,7 @@ class CompiledGraph:
                 ttab,
             )
         self.num_state = new_state
-        self.carries.update(new_carries)
+        self._apply_carries(new_carries)
         self.t = t0 + nb * self.bl
         self.graph.t = self.t
         return audio
@@ -1118,7 +1197,7 @@ class CompiledGraph:
             ),
         )
         self.num_state = new_state
-        self.carries.update(new_carries)
+        self._apply_carries(new_carries)
         self.t = t0 + nb_total * self.bl
         self.graph.t = self.t
         self._break_prebake_chain()  # sharded windows bake live

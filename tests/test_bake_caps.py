@@ -596,6 +596,87 @@ set_output("sum");
         assert calls["n"] == 0, "steady-state render must not re-bake"
         assert np.array_equal(r2, r3)
 
+    def test_unfresh_index_matches_brute_force(self, tmp_path, monkeypatch):
+        """The incremental _unfresh index (chain-serve eligibility rides
+        on it) must equal a from-scratch freshness scan at every state
+        transition: refresh, served render, live render, seek, off-grid
+        window, stream feed."""
+        import numpy as np
+
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.fileio.midi import write_midi
+        from termdaw_tpu.fileio.packets import encode_events, PacketDecoder
+        from termdaw_tpu.graph.compile import _FRESH_CARRIES
+        from termdaw_tpu.utils.fixtures import _drum
+
+        def brute(cg):
+            return {
+                vi for vi, c in cg.carries.items()
+                if _FRESH_CARRIES.get(cg.statics[vi].kind) != c
+            }
+
+        def check(cg, where):
+            assert cg._unfresh == brute(cg), where
+            assert cg._carries_fresh() == (not brute(cg)), where
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+        d = tmp_path / "inv"
+        d.mkdir()
+        _drum(d / "hit.wav", 8000, 0.05, 300.0, 30.0)
+        # notes held across window boundaries + a lerp retrigger: several
+        # kinds end renders legitimately stateful
+        write_midi(d / "hits.mid",
+                   [(0.2, 0.8, 36, 100), (1.4, 2.4, 40, 90)], bpm=120)
+        (d / "project.lua").write_text(f"""
+set_length(4.0);
+set_render_samplerate(8000);
+set_render_bitdepth(16);
+set_output_file("{d}/o.wav");
+load_sample("hit", "{d}/hit.wav", "");
+load_midi_floww("hits", "{d}/hits.mid");
+declare_stream("live");
+add_sample_multi("m", 1.0, 0.0, "hit", "live", -1);
+add_sample_lerp("lerp", 1.0, 0.0, "hit", "hits", -1, 40);
+add_synth("syn", 0.5, 0.0, "hits",
+    0.4, 0.3, {{0.001, 0.02, 0.0, 0.0, 0.0, 0.0}},
+    1.0, 0.8, {{0.01, 0.1, 0.8, 0.5, 0.2, 0.5}},
+    0.5, {{0.01, 0.1, 0.8, 0.5, 0.2, 0.5}});
+add_adsr("env", 1.0, 0.0, 1.0, "hits", false, true, -1,
+    {{0.01, 0.1, 0.8, 0.4, 0.2, 0.6}});
+add_normalize("sum", 1.0, 0.0);
+connect("m", "sum");
+connect("lerp", "env");
+connect("env", "sum");
+connect("syn", "sum");
+set_output("sum");
+""")
+        (d / "project.toml").write_text(
+            '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+            "project_samplerate = 8000\n"
+        )
+        st = State(Config.read(d / "project.toml"), str(d))
+        st.refresh()
+        assert st.loaded
+        cg = st.compiled
+        check(cg, "after refresh")
+        self._render_np(st)
+        check(cg, "after render 1 (+closing set_time)")
+        self._render_np(st)
+        check(cg, "after render 2 (recorded path)")
+        bl = st.config.settings.buffer_length
+        cg.set_time(5 * bl)
+        st.fb.set_time(5 * bl)
+        check(cg, "after mid-timeline seek")
+        cg.render_window(st.fb, 3)
+        check(cg, "after off-grid live window")
+        ev = np.array([[0.0, 3.2, 36.0, 0.9]], np.float32)
+        st.fb.append_streams(PacketDecoder().feed(encode_events("live", ev)))
+        cg.set_time(0)
+        st.fb.set_time(0)
+        self._render_np(st)
+        check(cg, "after feed + re-render")
+
     def test_feed_purges_stale_recorded_chains(self, tmp_path, monkeypatch):
         """A content-version bump can never revert, so recorded chains
         from older bank versions are purged (releasing their byte-budget
