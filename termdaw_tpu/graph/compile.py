@@ -108,20 +108,6 @@ def _copy_carry(c):
     return copy.deepcopy(c)
 
 
-def _serve_carry(c):
-    """Serve-time copy-or-alias of a stored chain delta. The engine
-    mutates carries in place in exactly ONE spot — set_time's SampSyn
-    branch shifts NoteInst clocks (NotesCarry) — every other transition
-    REBINDS a new object (bake fns build fresh carries; set_time's other
-    branches replace). So only NotesCarry (and unknown types, fail
-    closed) must be copied on the way out; the immutable-in-practice
-    kinds are served aliased. At 1024 tracks the per-window MultiCarry
-    delta copies were ~0.6 ms/render of pure allocation."""
-    if isinstance(c, (B.MultiCarry, B.SineCarry, B.LerpCarry, B.AdsrCarry)):
-        return c
-    return _copy_carry(c)
-
-
 def _unpack_bakes(ints_buf, floats_buf, layout):
     bakes: dict[str, dict[str, jnp.ndarray]] = {}
     for vkey, field, kind, off, shape in layout:
@@ -690,7 +676,7 @@ class CompiledGraph:
                     }
                     wins.append((
                         jnp.asarray(ints_buf), jnp.asarray(floats_buf),
-                        layout, delta,
+                        layout, delta, *self._classify_delta(delta),
                     ))
                     carries = dict(carries)
                     carries.update(nc)
@@ -724,6 +710,27 @@ class CompiledGraph:
         self._unfresh.clear()
         for vi, c in self.carries.items():
             self._classify_carry(vi, c)
+
+    def _classify_delta(self, delta: dict) -> tuple:
+        """Chain-build-time classification of a stored carry delta:
+        (fresh set, unfresh set, needs-copy set). Serving then applies
+        the delta with three C-speed set operations instead of a
+        per-entry dataclass-eq + isinstance walk (which was ~0.7 ms per
+        1024-track render). Sound because stored values are immutable
+        from the engine's perspective: aliased kinds are never mutated
+        in place, and copy-on-serve kinds compare equal to their copies."""
+        fresh, unfresh, copies = set(), set(), set()
+        for vi, c in delta.items():
+            f = _FRESH_CARRIES.get(self.statics[vi].kind)
+            if f is not None and c == f:
+                fresh.add(vi)
+            else:
+                unfresh.add(vi)
+            if not isinstance(
+                c, (B.MultiCarry, B.SineCarry, B.LerpCarry, B.AdsrCarry)
+            ):
+                copies.add(vi)  # NotesCarry / unknown: copy on serve
+        return frozenset(fresh), frozenset(unfresh), frozenset(copies)
 
     def _apply_carries(self, new_carries: dict) -> None:
         """The one write path into self.carries outside set_time: binds
@@ -794,11 +801,15 @@ class CompiledGraph:
                       ))
                 if not ok:
                     continue
-            ints_buf, floats_buf, layout, delta = ch["wins"][i]
+            ints_buf, floats_buf, layout, delta, fresh_d, unfresh_d, \
+                copy_vis = ch["wins"][i]
             ch["expect"] = i + 1
-            return ints_buf, floats_buf, layout, {
-                vi: _serve_carry(c) for vi, c in delta.items()
-            }
+            if copy_vis:  # only in-place-mutable kinds need copies
+                delta = {
+                    vi: (_copy_carry(c) if vi in copy_vis else c)
+                    for vi, c in delta.items()
+                }
+            return ints_buf, floats_buf, layout, delta, fresh_d, unfresh_d
         return None
 
     _REC_MAX = 4       # recorded chains kept (LRU)
@@ -841,9 +852,10 @@ class CompiledGraph:
             if c != self.carries.get(vi)
         }
         rec["index"][(t0, fb.frame, nb)] = len(rec["wins"])
-        rec["wins"].append(
-            (jnp.asarray(ints_buf), jnp.asarray(floats_buf), layout, delta)
-        )
+        rec["wins"].append((
+            jnp.asarray(ints_buf), jnp.asarray(floats_buf), layout, delta,
+            *self._classify_delta(delta),
+        ))
         rec["next"] = (t0 + nb * self.bl, fb.frame + nb * self.bl)
         rec["bytes"] += used
         self._prebake_used += used
@@ -988,8 +1000,10 @@ class CompiledGraph:
         t0 = self.t
         served = self._prebake_take(fb, t0, nb)
         if served is not None:
-            ints_buf, floats_buf, layout, new_carries = served
+            ints_buf, floats_buf, layout, new_carries, fresh_d, \
+                unfresh_d = served
         else:
+            fresh_d = None
             self._reset_chain_expects()
             bakes, new_carries = self._bake_all(
                 fb, t0, nb, fused=self.use_pallas
@@ -1022,7 +1036,13 @@ class CompiledGraph:
                 ttab,
             )
         self.num_state = new_state
-        self._apply_carries(new_carries)
+        if fresh_d is None:
+            self._apply_carries(new_carries)  # live bake: classify each
+        else:
+            # served delta: classification was precomputed at chain build
+            self.carries.update(new_carries)
+            self._unfresh.difference_update(fresh_d)
+            self._unfresh.update(unfresh_d)
         self.t = t0 + nb * self.bl
         self.graph.t = self.t
         return audio
