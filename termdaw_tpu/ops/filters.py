@@ -46,9 +46,18 @@ class BandPassState(NamedTuple):
 
     @staticmethod
     def init() -> "BandPassState":
-        return BandPassState(
-            prevs=jnp.zeros(4, jnp.float32), first=jnp.asarray(True)
-        )
+        # one shared immutable template: init() runs per BandPass vertex
+        # on every set_time (once per render), and the two eager device
+        # ops cost ~0.1 ms each through the remote-dispatch tunnel
+        global _BP_INIT
+        if _BP_INIT is None:
+            _BP_INIT = BandPassState(
+                prevs=jnp.zeros(4, jnp.float32), first=jnp.asarray(True)
+            )
+        return _BP_INIT
+
+
+_BP_INIT: BandPassState | None = None
 
 
 def _affine_combine(left, right):

@@ -287,13 +287,28 @@ class StreamingResampler:
     cycles through a handful of values, so only a few programs compile.
     """
 
+    # device-resident constants per (from_sr, to_sr, channels): the
+    # filter-bank upload and the initial zero tail cost ~1 ms of eager
+    # dispatch per construction, and render_device builds a fresh
+    # resampler every render. jax arrays are immutable, so sharing the
+    # templates across instances is safe.
+    _DEV_CONSTS: dict[tuple, tuple] = {}
+
     def __init__(self, from_sr: int, to_sr: int, channels: int = 2) -> None:
-        w, L, M = polyphase_kernel(from_sr, to_sr)
-        self.L, self.M, self.K = L, M, w.shape[2]
-        self.W = jnp.asarray(w[:, 0, :].T)  # [K, L]
+        key = (from_sr, to_sr, channels)
+        c = self._DEV_CONSTS.get(key)
+        if c is None:
+            w, L, M = polyphase_kernel(from_sr, to_sr)
+            lead = SINC_LEN // 2 - 1
+            c = (
+                jnp.asarray(w[:, 0, :].T),  # [K, L]
+                L, M, w.shape[2],
+                jnp.zeros((lead, channels), jnp.float32),
+                lead,
+            )
+            self._DEV_CONSTS[key] = c
+        self.W, self.L, self.M, self.K, self.tail, lead = c
         self.channels = channels
-        lead = SINC_LEN // 2 - 1
-        self.tail = jnp.zeros((lead, channels), jnp.float32)
         self.avail = lead   # padded-stream frames held = len(tail)
         self.q_done = 0     # rows emitted (row q covers xp[q*M : q*M+K])
         self.n_in = 0       # raw frames fed
