@@ -117,6 +117,14 @@ class FlowwBank:
         # pooled cursor index over the SORTED flowws (see _cursor_pool):
         # (version, flowws-identity snapshot, data)
         self._cursor_pool_cache: tuple | None = None
+        # memoized set_time rescan results for the current content
+        # generation: (version, flowws-identity snapshot, {t: indices}).
+        # Only populated when EVERY floww has an event at/after t — then
+        # the rescan overwrites every index with a value that depends
+        # only on (events, t), never on the current indices (see
+        # set_time). Repeat renders reset the cursor to the same start
+        # frame every time; this turns that reset into a list copy.
+        self._rescan_memo: tuple | None = None
 
     # pooled-cursor segment stride: one searchsorted over all sorted
     # flowws at once works by offsetting floww i's frames (and queries)
@@ -140,21 +148,9 @@ class FlowwBank:
         if len(self.flowws) < self._POOL_MIN_FLOWWS:
             return None
         c = self._cursor_pool_cache
-        # tuple equality short-circuits on per-element IDENTITY (CPython
-        # PyObject_RichCompareBool), so unchanged event arrays never
-        # compare elementwise — this guards direct `fb.flowws[i] = new`
-        # replacement (the supported external mutation path, see
-        # _event_frames) at C speed
-        if c is not None and c[0] == self.version:
-            try:
-                same = c[1] == tuple(self.flowws)
-            except ValueError:
-                # a replaced (non-identical) array makes tuple == fall
-                # through to ndarray.__eq__, whose truth value raises —
-                # which itself proves the bank changed
-                same = False
-            if same:
-                return c[2]
+        if c is not None and c[0] == self.version \
+                and self._flowws_unchanged(c[1]):
+            return c[2]
         sorted_idx: list[int] = []
         unsorted_idx: list[int] = []
         parts: list[np.ndarray] = []
@@ -371,12 +367,66 @@ class FlowwBank:
         self._reconcile()
         return self._si
 
+    def _flowws_unchanged(self, snapshot: tuple) -> bool:
+        """Identity-level equality of the floww roster vs a snapshot —
+        the same guard _cursor_pool uses against direct `fb.flowws[i] =
+        new` replacement (the supported external mutation path, which
+        does not bump version). Tuple == short-circuits on per-element
+        identity; a replaced (non-identical) array falls through to
+        ndarray.__eq__, whose truth value raises — proving the change."""
+        try:
+            return snapshot == tuple(self.flowws)
+        except ValueError:
+            return False
+
     def set_time(self, t: int) -> None:
+        m = self._rescan_memo
+        if m is not None and m[0] == self.version \
+                and self._flowws_unchanged(m[1]):
+            vals = m[2].get(t)
+            if vals is not None:
+                # the memo exists only when every floww has an event
+                # at/after t: the do_skip=False rescan then overwrites
+                # EVERY index with a value independent of the current
+                # ones (sorted: first event >= t; unsorted: first hit
+                # from 0), so both the deferred-advance reconcile and
+                # the "leave unchanged past the last event" quirk are
+                # unobservable — skip the whole walk
+                self._si[:] = vals
+                self._lag = 0
+                self.frame = t
+                return
         # reconcile first: the rescan's "index unchanged when no event is
         # at/after t" quirk makes its result depend on the CURRENT indices
         self._reconcile()
         self._set_start_indices_to_frame(t, do_skip=False)
         self.frame = t
+        self._memo_rescan(t)
+
+    def _memo_rescan(self, t: int) -> None:
+        """After a slow-path rescan to t, record the resulting indices
+        when they are provably si-independent: every floww must have at
+        least one event at/after t (the quirk never fires). A floww
+        whose events all precede t (or an empty floww) disqualifies the
+        whole bank for this t — fail closed, keep the slow path."""
+        for i in range(len(self.flowws)):
+            f = self._event_frames(i)
+            if not len(f):
+                return
+            if self._frames_cache[i][2]:
+                if int(f[-1]) < t:
+                    return
+            elif not bool((f >= t).any()):
+                return
+        m = self._rescan_memo
+        if m is None or m[0] != self.version \
+                or not self._flowws_unchanged(m[1]):
+            m = (self.version, tuple(self.flowws), {})
+            self._rescan_memo = m
+        d = m[2]
+        if len(d) >= 8:  # seeks to many distinct frames: bound the memo
+            d.clear()
+        d[t] = list(self._si)
 
     def set_time_to_next_block(self) -> None:
         self.advance_blocks(1)

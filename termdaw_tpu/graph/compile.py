@@ -1023,7 +1023,7 @@ class CompiledGraph:
 
         fn = self._get_fn(nb, is_scan, layout, fx_layout)
         with filters.exact_biquad_scope(self.exact_biquad):
-            new_state, audio = fn(
+            new_state, audio = fn.call_pinned(
                 self.num_state,
                 (self._gains, self._angles, self._wets),
                 ints_buf,

@@ -151,6 +151,25 @@ class AotProgram:
         self._sig: tuple | None = None
         self._fallback = None
 
+    def call_pinned(self, *args):
+        """Dispatch the resolved executable WITHOUT re-deriving the args
+        signature. For chain-served window programs the signature is
+        pinned by construction — bake buffers are stored at chain build,
+        state shapes are the program's own fixed outputs, the time table
+        is memoized per pow2 length — and re-hashing ~65 leaf shapes per
+        window showed up in steady-render profiles (~0.2 ms at 5 windows,
+        a tenth of the whole wall). The compiled call validates input
+        avals itself, so a pin violation raises loudly; it is caught and
+        rerouted through the checked path, which routes a genuinely
+        changed signature to the plain-jit fallback exactly as before."""
+        c = self._compiled
+        if c is None or self._fallback is not None:
+            return self(*args)
+        try:
+            return c(*args)
+        except (TypeError, ValueError):
+            return self(*args)
+
     def __call__(self, *args):
         if self._fallback is not None:
             return self._fallback(*args)

@@ -79,3 +79,30 @@ def test_cpu_backend_skips_disk(tmp_path, monkeypatch):
     p = aotcache.AotProgram(jax.jit(_fn), "prog-cpu")
     p(jnp.arange(8, dtype=jnp.float32), jnp.float32(1.0))
     assert not list((tmp_path / "xla" / "aot").glob("*.pkl"))
+
+
+def test_call_pinned_skips_signature_and_reroutes(disk):
+    p = aotcache.AotProgram(jax.jit(_fn), "prog-pinned")
+    x = jnp.arange(8, dtype=jnp.float32)
+    p(x, jnp.float32(1.0))  # resolve the executable (signature-checked)
+    assert p._compiled is not None and p._fallback is None
+    out, _ = p.call_pinned(x, jnp.float32(2.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2 + 2.0)
+    # a pin violation (grown shape) raises inside the compiled call and
+    # reroutes through the checked path, which falls back to plain jit
+    # exactly like __call__ would have
+    y = jnp.arange(16, dtype=jnp.float32)
+    out3, _ = p.call_pinned(y, jnp.float32(1.0))
+    assert out3.shape == (16,)
+    assert p._fallback is not None
+    # and later pinned calls (any shape) keep working via the fallback
+    out4, _ = p.call_pinned(x, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(x) * 2)
+
+
+def test_call_pinned_before_resolution_is_checked(disk):
+    p = aotcache.AotProgram(jax.jit(_fn), "prog-pinned-cold")
+    x = jnp.arange(8, dtype=jnp.float32)
+    out, _ = p.call_pinned(x, jnp.float32(3.0))  # no executable yet
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2 + 3.0)
+    assert p._compiled is not None or p._fallback is not None

@@ -341,3 +341,108 @@ class TestStreamRebake:
             "stream feed minted a new compiled program: "
             f"{keys_after - keys_before}"
         )
+
+
+class TestSetTimeMemo:
+    """set_time's per-(version, roster, t) rescan memo must be invisible:
+    identical cursor state to a memo-free bank through arbitrary
+    interleavings, and never built/served when any floww disqualifies
+    (empty, all events before t, identity-replaced roster)."""
+
+    def _bank(self, flowws, sr=100, bl=10):
+        fb = FlowwBank(sr, bl)
+        for i, events in enumerate(flowws):
+            fb.declare_floww(
+                f"f{i}", np.asarray(events, np.float32).reshape(-1, 4)
+            )
+        return fb
+
+    def _rand_flowws(self, rng, n_flowws, min_events=1):
+        out = []
+        for _ in range(n_flowws):
+            n = int(rng.integers(min_events, 12))
+            times = np.sort(rng.uniform(0.0, 2.0, n)).astype(np.float32)
+            notes = rng.integers(50, 70, n).astype(np.float32)
+            vels = rng.uniform(0.0, 1.0, n).astype(np.float32)
+            out.append(
+                np.stack([np.zeros(n, np.float32), times, notes, vels], 1)
+            )
+        return out
+
+    def test_memo_matches_memoless_walk(self, rng):
+        for _ in range(15):
+            flowws = self._rand_flowws(rng, 20)  # >= _POOL_MIN_FLOWWS
+            a = self._bank(flowws)
+            b = self._bank(flowws)
+            b._memo_rescan = lambda t: None  # b never builds the memo
+            for _ in range(12):
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    nb = int(rng.integers(1, 6))
+                    a.advance_blocks(nb)
+                    b.advance_blocks(nb)
+                elif op == 1:
+                    t = int(rng.integers(0, 260))  # past some schedules
+                    a.set_time(t)
+                    b.set_time(t)
+                else:  # the render-reset hot case: repeat seeks to 0
+                    a.set_time(0)
+                    b.set_time(0)
+                assert a.frame == b.frame
+                assert a.start_indices == b.start_indices
+
+    def test_memo_is_served_si_independent(self):
+        flowws = [
+            [ev(0.05 * (i + 1), 60, 0.9), ev(1.5, 60, 0.0)]
+            for i in range(20)
+        ]
+        fb = self._bank(flowws)
+        fb.set_time(0)
+        assert fb._rescan_memo is not None and 0 in fb._rescan_memo[2]
+        want = list(fb._si)
+        fb.advance_blocks(3)  # leave a deferred lag pending
+        fb._si[0] = 7  # scribble: the rescan overwrites every index
+        fb.set_time(0)  # memo hit: no reconcile, full overwrite
+        assert fb._si == want and fb._lag == 0 and fb.frame == 0
+
+    def test_empty_floww_disables_memo(self):
+        flowws = [[ev(0.1, 60, 0.9)]] * 19 + [np.zeros((0, 4), np.float32)]
+        fb = self._bank(flowws)
+        fb.set_time(0)
+        assert fb._rescan_memo is None
+
+    def test_all_events_before_t_not_memoized(self):
+        flowws = [[ev(0.1, 60, 0.9)] for _ in range(20)]
+        fb = self._bank(flowws)
+        fb.set_time(0)  # eligible: memoized
+        fb.set_time(500)  # past every event: the quirk fires, no memo
+        m = fb._rescan_memo
+        assert m is not None and 0 in m[2] and 500 not in m[2]
+
+    def test_roster_replacement_invalidates_memo(self):
+        flowws = [
+            [ev(0.0, 60, 0.9), ev(0.5, 60, 0.9)] for _ in range(20)
+        ]
+        fb = self._bank(flowws)
+        fb.set_time(40)
+        assert fb._rescan_memo is not None and 40 in fb._rescan_memo[2]
+        assert fb._si[0] == 1
+        # direct replacement (the supported external mutation path — no
+        # version bump): the identity guard must force a fresh rescan
+        fb.flowws[0] = np.asarray(
+            [ev(0.0, 61, 0.9), ev(0.1, 61, 0.9), ev(0.5, 61, 0.9)],
+            np.float32,
+        )
+        fb.set_time(40)
+        assert fb._si[0] == 2
+
+    def test_small_bank_memoizes_too(self):
+        # below _POOL_MIN_FLOWWS the rescan uses the per-floww loop;
+        # the memo sits above both paths and must behave identically
+        flowws = [[ev(0.3, 60, 0.9), ev(0.9, 60, 0.0)] for _ in range(3)]
+        fb = self._bank(flowws)
+        fb.set_time(50)
+        first = list(fb._si)
+        fb.advance_blocks(4)
+        fb.set_time(50)  # memo hit
+        assert fb._si == first
