@@ -226,15 +226,19 @@ def resample_sample(x: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
 # streaming (chunked) resample — exact
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("rows", "K", "M", "trail", "keep"))
+@partial(jax.jit,
+         static_argnames=("rows", "K", "M", "trail", "keep", "take"))
 def _stream_step(
     tail: jnp.ndarray, x: jnp.ndarray, W: jnp.ndarray,
     rows: int, K: int, M: int, trail: int, keep: int,
+    take: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming chunk: concat carry + new input, emit `rows` polyphase
     rows (each L outputs), retain the last `keep` frames as the next carry.
     Same window-slab matmul as _polyphase_jit; static ints are pure host
-    arithmetic so no device sync is ever needed for bookkeeping."""
+    arithmetic so no device sync is ever needed for bookkeeping. `take`
+    statically trims the output to its first `take` frames — flush()'s
+    exact-length cut, folded in here so it is not an eager device slice."""
     c = x.shape[1]
     buf = jnp.concatenate([tail, x], axis=0)
     n_slabs = -(-K // M)
@@ -259,7 +263,10 @@ def _stream_step(
     new_tail = jax.lax.dynamic_slice_in_dim(
         buf, rows * M, keep, axis=0
     ) if keep else buf[:0]
-    return out.reshape(rows * L, c), new_tail
+    out = out.reshape(rows * L, c)
+    if take is not None:
+        out = out[:take]
+    return out, new_tail
 
 
 @jax.jit
@@ -305,9 +312,10 @@ class StreamingResampler:
                 L, M, w.shape[2],
                 jnp.zeros((lead, channels), jnp.float32),
                 lead,
+                jnp.zeros((0, channels), jnp.float32),
             )
             self._DEV_CONSTS[key] = c
-        self.W, self.L, self.M, self.K, self.tail, lead = c
+        self.W, self.L, self.M, self.K, self.tail, lead, self._empty = c
         self.channels = channels
         self.avail = lead   # padded-stream frames held = len(tail)
         self.q_done = 0     # rows emitted (row q covers xp[q*M : q*M+K])
@@ -330,27 +338,29 @@ class StreamingResampler:
         q_total = -(-n_out_total // self.L)
         rows = q_total - self.q_done
         if rows <= 0:
-            return jnp.zeros((0, self.channels), jnp.float32)
+            return self._empty
         # semantic end-of-signal zero padding so every remaining row's
-        # K-window is defined
+        # K-window is defined; the exact-length cut of the final partial
+        # row rides the jitted step as a static `take` (an eager device
+        # slice here cost ~0.3 ms per render through the remote tunnel)
         trail = max(0, (q_total - 1) * self.M + self.K - self.avail)
-        emitted_before = self.n_emitted
-        out = self._step(
-            jnp.zeros((0, self.channels), jnp.float32), q_total, trail=trail
+        return self._step(
+            self._empty, q_total, trail=trail,
+            take=n_out_total - self.n_emitted,
         )
-        return out[: n_out_total - emitted_before]
 
-    def _step(self, x: jnp.ndarray, q_ready: int, trail: int) -> jnp.ndarray:
+    def _step(self, x: jnp.ndarray, q_ready: int, trail: int,
+              take: int | None = None) -> jnp.ndarray:
         rows = q_ready - self.q_done
         if rows <= 0:
             if x.shape[0]:
                 self.tail = _stream_append(self.tail, x)
-            return jnp.zeros((0, self.channels), jnp.float32)
+            return self._empty
         # buffer holds padded-stream frames [q_done*M, avail+trail); after
         # emitting through row q_ready-1 keep from q_ready*M on
         keep = max(0, self.avail + trail - q_ready * self.M)
         out, self.tail = _stream_step(
-            self.tail, x, self.W, rows, self.K, self.M, trail, keep
+            self.tail, x, self.W, rows, self.K, self.M, trail, keep, take
         )
         self.avail = q_ready * self.M + keep
         self.q_done = q_ready
