@@ -92,9 +92,12 @@ _FRESH_CARRIES = {k: cls() for k, cls in _CARRY_CLASSES.items()}
 
 
 def _copy_carry(c):
-    """Snapshot/serve copy of a carry: a stored chain must never alias
-    objects the live engine can mutate in place. Unknown carry types are
-    deep-copied (fail closed), never returned aliased."""
+    """Store-side snapshot copy of a carry (_record_window): stored
+    chains never alias objects captured FROM the live engine, keeping
+    them valid even if an in-place mutation ever slipped back in. The
+    serve side aliases known kinds out (carries are immutable values —
+    every engine change rebinds, see _classify_delta); unknown carry
+    types are deep-copied on both sides (fail closed)."""
     if isinstance(c, B.MultiCarry):
         return B.MultiCarry(list(c.voices))
     if isinstance(c, B.SineCarry):
@@ -727,17 +730,23 @@ class CompiledGraph:
             else:
                 unfresh.add(vi)
             if not isinstance(
-                c, (B.MultiCarry, B.SineCarry, B.LerpCarry, B.AdsrCarry)
+                c, (B.MultiCarry, B.SineCarry, B.LerpCarry, B.AdsrCarry,
+                    B.NotesCarry)
             ):
-                copies.add(vi)  # NotesCarry / unknown: copy on serve
+                copies.add(vi)  # unknown kinds only: copy on serve
+                # (every known carry is an immutable value — the engine
+                # rebinds on change, never mutates; set_time's SampSyn
+                # remap was the last in-place site and now rebinds too)
         return frozenset(fresh), frozenset(unfresh), frozenset(copies)
 
     def _apply_carries(self, new_carries: dict) -> None:
         """The one write path into self.carries outside set_time: binds
-        the new values and keeps the freshness index exact. The only
-        in-place carry mutation anywhere (set_time's SampSyn clock remap)
-        cannot flip freshness — fresh NotesCarry has no notes to mutate —
-        so assignment-site classification is sufficient."""
+        the new values and keeps the freshness index exact. Carries are
+        immutable values engine-wide (every change rebinds — bake builds
+        fresh objects, set_time's SampSyn remap rebinds), so
+        assignment-site classification is sufficient, and set_time's own
+        rebinds (which bypass this) cannot flip freshness: they map
+        non-empty states to non-empty states."""
         carries = self.carries
         for vi, c in new_carries.items():
             carries[vi] = c
@@ -776,9 +785,10 @@ class CompiledGraph:
         live carries ARE its output), or this is the chain's window 0
         and the live carries equal its recorded start state (pristine
         for the seed chain, a snapshot for recorded chains). Served
-        deltas pass through _serve_carry: kinds the engine can mutate in
-        place are copied so stored chains stay pristine; rebind-only
-        kinds are aliased."""
+        deltas are ALIASED for every known carry kind — carries are
+        immutable values (the engine rebinds on change, never mutates),
+        so a stored object can safely live in self.carries; unknown
+        kinds are copied (fail closed)."""
         if not self._prebake_on:
             return None
         bank = (fb.uid, fb.version)
@@ -962,15 +972,25 @@ class CompiledGraph:
                 self.carries[vi] = c
                 self._classify_carry(vi, c)
             elif kind == G.SAMPSYN:
-                # in-place clock remap; freshness cannot flip (a fresh
-                # carry has no notes to mutate, a non-empty one stays
-                # non-empty)
-                for n in carry.notes:
-                    n.on_f += dt
-                    if n.off_f is not None:
-                        n.off_f += dt
-                    if n.dead_f < B.INF_FRAME:
-                        n.dead_f += dt
+                # clock remap REBINDS a fresh carry (freshness cannot
+                # flip: non-empty stays non-empty). This was the single
+                # in-place carry mutation in the engine; with it gone,
+                # carries are immutable values everywhere — every change
+                # rebinds — so chain serves may alias stored objects
+                # (see _classify_delta) instead of copying per window
+                if carry.notes:
+                    self.carries[vi] = B.NotesCarry([
+                        replace(
+                            n,
+                            on_f=n.on_f + dt,
+                            off_f=(None if n.off_f is None
+                                   else n.off_f + dt),
+                            dead_f=(n.dead_f + dt
+                                    if n.dead_f < B.INF_FRAME
+                                    else n.dead_f),
+                        )
+                        for n in carry.notes
+                    ])
             elif kind == G.ADSR:
                 pass  # cell clocks are time-relative values; they carry
                 # through seeks unchanged (the reference's set_time does

@@ -596,6 +596,95 @@ set_output("sum");
         assert calls["n"] == 0, "steady-state render must not re-bake"
         assert np.array_equal(r2, r3)
 
+
+
+    def test_seek_after_served_render_keeps_chain_intact(
+            self, tmp_path, monkeypatch):
+        """Served carry deltas are ALIASED into the live engine (carries
+        are immutable values -- every engine change rebinds). The one
+        historical in-place mutation site, set_time's SampSyn clock
+        remap, now rebinds too: a seek right after a served render must
+        leave the chain's stored objects bit-untouched (with an in-place
+        remap + aliasing they would shift by dt), and later renders must
+        match a prebake-disabled ground truth exactly."""
+        import numpy as np
+
+        from termdaw_tpu.config import Config
+        from termdaw_tpu.engine.state import State
+        from termdaw_tpu.fileio.midi import write_midi
+        from termdaw_tpu.fileio.wavetable import WaveTable, write_wavetable
+
+        monkeypatch.setenv("TERMDAW_MESH", "0")
+
+        def build(sub):
+            d = tmp_path / sub
+            d.mkdir()
+            # a note held past the schedule end leaves the SampSyn carry
+            # non-empty after the render -- the served seed chain's final
+            # delta then aliases a live NotesCarry, which the seek remaps
+            write_midi(d / "m.mid", [(0.1, 9.0, 60, 100)], bpm=120)
+            write_wavetable(d / "t.wt", WaveTable.default())
+            (d / "project.lua").write_text(f"""
+set_length(4.0);
+set_render_samplerate(8000);
+set_render_bitdepth(16);
+set_output_file("{d}/o.wav");
+load_midi_floww("m", "{d}/m.mid");
+load_resource("tbl", "{d}/t.wt");
+add_sampsyn("syn", 0.8, 0.0, "m", {{0.01, 0.1, 0.8, 5.0, 0.2, 0.5}}, "tbl");
+add_normalize("sum", 1.0, 0.0);
+connect("syn", "sum");
+set_output("sum");
+""")
+            (d / "project.toml").write_text(
+                '[settings]\nmain = "project.lua"\nbuffer_length = 256\n'
+                "project_samplerate = 8000\n"
+            )
+            st = State(Config.read(d / "project.toml"), str(d))
+            st.refresh()
+            assert st.loaded
+            return st
+
+        st = build("syn")
+        # render 1 serves the seed chain; do NOT reset time yet -- the
+        # engine's own set_time(0) reset IS the remap under test
+        st.fb.set_time(st.compiled.get_time())
+        r1 = np.concatenate([
+            np.asarray(c) for c in st.render_device(issue_fetch=False)
+        ])
+        # the live carry must alias a stored chain object for this
+        # regression guard to be meaningful
+        pb = st.compiled._prebaked
+        assert pb is not None
+        stored_notes = [
+            c for w in pb["wins"] for c in w[3].values()
+            if getattr(c, "notes", None)
+        ]
+        live = list(st.compiled.carries.values())
+        assert any(
+            any(c is lv for lv in live) for c in stored_notes
+        ), "served delta should alias stored carry objects"
+        snap = [
+            (n.on_f, n.off_f, n.dead_f, n.env_t, n.rel_t)
+            for c in stored_notes for n in c.notes
+        ]
+        st.compiled.set_time(0)  # SampSyn clock remap (dt = -total)
+        st.fb.set_time(0)
+        assert snap == [
+            (n.on_f, n.off_f, n.dead_f, n.env_t, n.rel_t)
+            for c in stored_notes for n in c.notes
+        ], "seek must not mutate chain-stored carries"
+        r2 = self._render_np(st)      # starts from the remapped carry
+
+        # ground truth: identical project + identical op sequence with
+        # the chain machinery off entirely
+        monkeypatch.setenv("TERMDAW_PREBAKE", "0")
+        st2 = build("syn_live")
+        g1 = self._render_np(st2)
+        g2 = self._render_np(st2)
+        assert np.array_equal(r1, g1)
+        assert np.array_equal(r2, g2)
+
     def test_unfresh_index_matches_brute_force(self, tmp_path, monkeypatch):
         """The incremental _unfresh index (chain-serve eligibility rides
         on it) must equal a from-scratch freshness scan at every state
