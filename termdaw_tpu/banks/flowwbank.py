@@ -383,8 +383,10 @@ class FlowwBank:
         m = self._rescan_memo
         if m is not None and m[0] == self.version \
                 and self._flowws_unchanged(m[1]):
-            vals = m[2].get(t)
+            d = m[2]
+            vals = d.get(t)
             if vals is not None:
+                d[t] = d.pop(t)  # LRU: a hit keeps its entry evictable last
                 # the memo exists only when every floww has an event
                 # at/after t: the do_skip=False rescan then overwrites
                 # EVERY index with a value independent of the current
@@ -424,8 +426,12 @@ class FlowwBank:
             m = (self.version, tuple(self.flowws), {})
             self._rescan_memo = m
         d = m[2]
-        if len(d) >= 8:  # seeks to many distinct frames: bound the memo
-            d.clear()
+        if len(d) >= 8 and t not in d:
+            # bound the memo by evicting the LEAST-recently-hit entry
+            # (dict order + move-to-end on hit) — wholesale clearing
+            # dropped the hot render-reset t whenever a user scrubbed
+            # through >8 distinct seek targets
+            del d[next(iter(d))]
         d[t] = list(self._si)
 
     def set_time_to_next_block(self) -> None:

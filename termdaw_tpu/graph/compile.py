@@ -830,7 +830,9 @@ class CompiledGraph:
         """Record one live-baked window into the active recording chain
         (started with a snapshot of the CURRENT pre-window carries).
         Called before self.carries is updated. Deltas and snapshots are
-        copies — the live objects are mutated by set_time later."""
+        copies — carries are immutable values engine-wide, so this is
+        pure defense in depth: if an in-place mutation ever slipped back
+        in, stored chains would still hold their own objects."""
         if not self._prebake_on or nb < self._REC_MIN_NB:
             return
         used = ints_buf.nbytes + floats_buf.nbytes
@@ -972,11 +974,12 @@ class CompiledGraph:
                 self.carries[vi] = c
                 self._classify_carry(vi, c)
             elif kind == G.SAMPSYN:
-                # clock remap REBINDS a fresh carry (freshness cannot
-                # flip: non-empty stays non-empty). This was the single
-                # in-place carry mutation in the engine; with it gone,
-                # carries are immutable values everywhere — every change
-                # rebinds — so chain serves may alias stored objects
+                # the clock remap rebinds a NEW NotesCarry for non-empty
+                # carries and leaves a fresh (empty) carry untouched, so
+                # freshness cannot flip. This was the engine's single
+                # in-place carry mutation; with it gone, carries are
+                # immutable values everywhere — every change rebinds —
+                # so chain serves may alias stored objects
                 # (see _classify_delta) instead of copying per window
                 if carry.notes:
                     self.carries[vi] = B.NotesCarry([

@@ -446,3 +446,18 @@ class TestSetTimeMemo:
         fb.advance_blocks(4)
         fb.set_time(50)  # memo hit
         assert fb._si == first
+
+    def test_memo_lru_keeps_rehit_entry(self):
+        # the render-reset t=0 entry must survive scrubbing through many
+        # distinct seek targets as long as it keeps getting hit (LRU
+        # eviction, not wholesale clearing)
+        flowws = [
+            [ev(0.1, 60, 0.9), ev(3.0, 60, 0.0)] for _ in range(20)
+        ]
+        fb = self._bank(flowws)
+        fb.set_time(0)
+        for i in range(1, 15):  # 14 distinct seek targets
+            fb.set_time(10 * i)
+            fb.set_time(0)  # re-hit keeps the hot entry alive
+        m = fb._rescan_memo
+        assert m is not None and 0 in m[2] and len(m[2]) <= 8
