@@ -670,12 +670,21 @@ class State:
         # the chain-storing pass only pays off single-device (sharded
         # windows live-bake)
         cg.seed_caps(self.fb, self.cs, step, prebake=(n_dev == 1))
+        wins: list = []
         while left > 0:
             nb = self._pick_nb(left, step, n_dev)
             win = self._render_window_auto(cg, nb, mesh, n_dev)
             self.fb.advance_blocks(nb)
             left -= nb
-            finish(rs.feed(win) if rs is not None else win)
+            if rs is not None:
+                # a render is a complete signal: resample it in ONE
+                # dispatch at the end (render_whole) instead of a
+                # chunked feed per window — the per-chunk device work
+                # here was pure enqueue latency, and the downstream
+                # fetch is tunnel-bound either way
+                wins.append(win)
+            else:
+                finish(win)
         if rs is not None:
-            finish(rs.flush())
+            finish(rs.render_whole(wins))
         return chunks

@@ -338,6 +338,37 @@ class TestResample:
             assert got.shape == whole.shape, (got.shape, whole.shape)
             np.testing.assert_allclose(got, whole, atol=1e-5)
 
+    @pytest.mark.parametrize("from_sr,to_sr", [(48000, 44100), (96000, 48000)])
+    def test_render_whole_equals_chunked(self, from_sr, to_sr, rng):
+        """render_whole (one-dispatch feed+flush of a complete signal,
+        the render path) must match the chunked walk and the one-shot
+        resample to reduction-order rounding, at the exact output
+        length. Also: an empty render and a fresh-only contract."""
+        import jax.numpy as jnp
+        import pytest as _pytest
+        from termdaw_tpu.ops.resample import (
+            StreamingResampler, resample_device,
+        )
+
+        n = 20000
+        x = rng.normal(size=(n, 2)).astype(np.float32)
+        whole = np.asarray(resample_device(jnp.asarray(x), from_sr, to_sr))
+        chunks = [4096] * 4 + [n - 4 * 4096]
+        xs, i = [], 0
+        for cn in chunks:
+            xs.append(jnp.asarray(x[i:i + cn]))
+            i += cn
+        sr_ = StreamingResampler(from_sr, to_sr)
+        got = np.asarray(sr_.render_whole(xs))
+        assert got.shape == whole.shape, (got.shape, whole.shape)
+        np.testing.assert_allclose(got, whole, atol=1e-5)
+        # a used resampler must refuse (feed/flush bookkeeping differs)
+        with _pytest.raises(AssertionError):
+            sr_.render_whole(xs)
+        # an empty render emits the empty chunk
+        sr2 = StreamingResampler(from_sr, to_sr)
+        assert np.asarray(sr2.render_whole([])).shape == (0, 2)
+
 
 class TestSinF32:
     def test_accurate_sine_large_args(self, rng):
