@@ -637,14 +637,15 @@ class State:
 
     def render_device(self, issue_fetch: bool = True) -> list:
         """The device side of a render: window-by-window graph evaluation,
-        streamed resample (exactly-chunked polyphase, ops/resample.py) and
-        quantize per window, with each finished chunk's device->host copy
-        issued asynchronously so the fetch of chunk k rides under the
-        compute of chunk k+1 (the tunnel transfer is the end-to-end
-        bottleneck here; on-host deployments overlap the PCIe copy the same
-        way). Returns the ordered device int chunks; graph time is
-        advanced, not reset."""
-        from ..ops.quantize import quantize_interleave
+        then ONE polyphase resample (ops/resample.render_whole) and ONE
+        quantize over the whole signal, with the final chunk's
+        device->host copy issued asynchronously (the tunnel transfer is
+        the end-to-end bottleneck; losing the old per-window fetch
+        overlap costs ~1 ms of compute shadow under a multi-hundred-ms
+        transfer, while the collapsed dispatches took a steady c4 render
+        from 2.6 to 0.9 ms). Returns the ordered device int chunks;
+        graph time is advanced, not reset."""
+        from ..ops.quantize import quantize_interleave_many
         from ..ops.resample import StreamingResampler
 
         psr = self.config.settings.project_samplerate
@@ -655,10 +656,13 @@ class State:
         )
         chunks: list = []
 
-        def finish(part) -> None:
-            if part.shape[0] == 0:
+        def finish_many(part) -> None:
+            """part: one [F, 2] device array or a list of window chunks
+            (concat+quantize fuse into one program either way)."""
+            parts = part if isinstance(part, list) else [part]
+            if not parts or sum(int(p.shape[0]) for p in parts) == 0:
                 return
-            ints = quantize_interleave(part, self.bd)
+            ints = quantize_interleave_many(parts, self.bd)
             if issue_fetch:
                 ints.copy_to_host_async()
             chunks.append(ints)
@@ -673,18 +677,17 @@ class State:
         wins: list = []
         while left > 0:
             nb = self._pick_nb(left, step, n_dev)
-            win = self._render_window_auto(cg, nb, mesh, n_dev)
+            wins.append(self._render_window_auto(cg, nb, mesh, n_dev))
             self.fb.advance_blocks(nb)
             left -= nb
-            if rs is not None:
-                # a render is a complete signal: resample it in ONE
-                # dispatch at the end (render_whole) instead of a
-                # chunked feed per window — the per-chunk device work
-                # here was pure enqueue latency, and the downstream
-                # fetch is tunnel-bound either way
-                wins.append(win)
-            else:
-                finish(win)
-        if rs is not None:
-            finish(rs.render_whole(wins))
+        # a render is a complete signal: resample (render_whole) and
+        # quantize it in ONE dispatch each at the end, instead of a
+        # chunked feed + quantize per window — ~12 dispatches of pure
+        # enqueue latency on a sub-ms steady wall. The downstream fetch
+        # is tunnel/PCIe-bound either way, so the lost per-chunk
+        # fetch/compute overlap is a few ms of a multi-hundred-ms
+        # transfer. Identical math: quantize is elementwise, resample
+        # differs only by the documented reduction-order drift class.
+        if wins:
+            finish_many(rs.render_whole(wins) if rs is not None else wins)
         return chunks

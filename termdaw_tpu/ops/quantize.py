@@ -12,6 +12,8 @@ only reachable with clipping gain into a 32-bit render.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -37,3 +39,17 @@ def quantize_interleave_traced(x: jnp.ndarray, bd: int) -> jnp.ndarray:
 quantize_interleave = jax.jit(
     quantize_interleave_traced, static_argnames=("bd",)
 )
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _quantize_many(parts: tuple, bd: int) -> jnp.ndarray:
+    return quantize_interleave_traced(jnp.concatenate(parts, axis=0), bd)
+
+
+def quantize_interleave_many(parts: list, bd: int) -> jnp.ndarray:
+    """Quantize a complete render given as device window chunks in ONE
+    dispatch (concat + scale + truncate fused). Bit-identical to
+    quantizing each chunk separately and concatenating the ints — the
+    op is elementwise — but a 5-window render paid 5 pipelined
+    dispatches here, pure enqueue latency on a sub-1 ms steady wall."""
+    return _quantize_many(tuple(parts), bd)
